@@ -1,0 +1,122 @@
+"""Perceptual losses with the reference's exact reduction semantics.
+
+The reference's idiosyncratic normalizations are preserved bit-for-bit in f32
+so its published weight schedule (content 1000 halved / style 1 doubled every
+10k iters, TV 10 — /root/reference/config.py:11-15, train.py:121-122,237-239)
+produces the same training dynamics:
+
+- style   (losses/losses.py:15-44): per layer, sum-reduction MSE between the
+  batch Grams and the (broadcast) style-image Gram, scaled by
+  ``layer_weight / c^2`` where c = channel count. The reference zips 4 tap
+  indices with 3 weights, silently dropping the 4th (defect #2); here tap
+  names and weights are length-validated, with defaults reproducing the
+  effective behavior (3 layers).
+- content (losses/losses.py:46-60): sum-reduction MSE at one tap, normalized
+  by c*h*w (NOT by batch).
+- TV      (losses/losses.py:62-73): anisotropic squared-difference total
+  variation, summed, normalized by b*c*h*w.
+
+Tap addressing is by VGG19 layer name (fixes defects #2/#3); the mapping from
+the reference's positional indices [0,1,2] / 4 over its 5-tap feature list is
+encoded in the defaults below.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossTaps:
+    """Which VGG19 activations feed each loss, validated at construction.
+
+    Defaults reproduce the reference's *effective* behavior:
+    - style taps = feature indices [0,1,2] (index 4 dropped by zip truncation)
+      -> relu1_2, relu2_2, relu3_3 with weights .25/.3/.45
+    - content tap = feature index 4 -> relu4_3 (the code comment says relu4_2;
+      the code does relu4_3 — losses/losses.py:49, vgg19_net.py:63)
+    """
+
+    style_taps: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")
+    style_weights: Tuple[float, ...] = (0.25, 0.3, 0.45)
+    content_tap: str = "relu4_2"
+
+    def __post_init__(self):
+        if len(self.style_taps) != len(self.style_weights):
+            raise ValueError(
+                f"{len(self.style_taps)} style taps but "
+                f"{len(self.style_weights)} weights (the reference silently "
+                "zip-truncated this mismatch; we refuse it)"
+            )
+
+    @property
+    def all_taps(self) -> Tuple[str, ...]:
+        """Deduplicated tap list in a stable order: style taps then content."""
+        seen = list(self.style_taps)
+        if self.content_tap not in seen:
+            seen.append(self.content_tap)
+        return tuple(seen)
+
+    def split(self, feats: Sequence[jnp.ndarray]):
+        """Split a feature list (ordered as ``all_taps``) into style/content."""
+        by_name = dict(zip(self.all_taps, feats))
+        return [by_name[t] for t in self.style_taps], by_name[self.content_tap]
+
+
+# Reference-default taps: content index 4 == relu4_3 in its actual slice map.
+REFERENCE_TAPS = LossTaps(content_tap="relu4_3")
+
+
+def _gram(feat: jnp.ndarray) -> jnp.ndarray:
+    from fast_neural_style_transfer_tpu.ops import gram_matrix
+
+    return gram_matrix(feat)
+
+
+def style_targets_from_features(style_feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Precompute per-layer style Grams from a batch-1 style image's features.
+
+    Mirrors get_style_targets (train.py:25-37): gram then squeeze(0) -> (c, c).
+    """
+    targets = []
+    for f in style_feats:
+        g = _gram(f)
+        targets.append(jnp.squeeze(g, axis=0))
+    return targets
+
+
+def style_loss(
+    style_feats: Sequence[jnp.ndarray],
+    target_grams: Sequence[jnp.ndarray],
+    weights: Sequence[float],
+) -> jnp.ndarray:
+    """Sum over layers of ``w * sum((G - G_target)^2) / c^2``."""
+    if not (len(style_feats) == len(target_grams) == len(weights)):
+        raise ValueError("style taps / targets / weights length mismatch")
+    total = jnp.asarray(0.0, jnp.float32)
+    for feat, tgt, w in zip(style_feats, target_grams, weights):
+        g = _gram(feat).astype(jnp.float32)  # (b, c, c)
+        c = tgt.shape[0]
+        tgt = tgt.astype(jnp.float32)[None]  # broadcast over batch
+        layer = jnp.sum(jnp.square(g - tgt))
+        total = total + (w * layer) / (c * c)
+    return total
+
+
+def content_loss(input_feat: jnp.ndarray, target_feat: jnp.ndarray) -> jnp.ndarray:
+    """Sum-reduction MSE normalized by c*h*w (NHWC input)."""
+    diff = input_feat.astype(jnp.float32) - target_feat.astype(jnp.float32)
+    b, h, w, c = input_feat.shape
+    return jnp.sum(jnp.square(diff)) / (c * h * w)
+
+
+def total_variation_loss(img: jnp.ndarray) -> jnp.ndarray:
+    """Anisotropic TV, summed then normalized by b*c*h*w (NHWC input)."""
+    x = img.astype(jnp.float32)
+    b, h, w, c = x.shape
+    tv_h = jnp.sum(jnp.square(x[:, 1:, :, :] - x[:, :-1, :, :]))
+    tv_w = jnp.sum(jnp.square(x[:, :, 1:, :] - x[:, :, :-1, :]))
+    return (tv_h + tv_w) / (b * c * h * w)

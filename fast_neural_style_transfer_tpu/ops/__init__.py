@@ -1,0 +1,17 @@
+from fast_neural_style_transfer_tpu.ops.conv import (
+    reflect_conv2d,
+    conv2d_same,
+    conv_transpose2d,
+    max_pool2d,
+)
+from fast_neural_style_transfer_tpu.ops.norm import instance_norm
+from fast_neural_style_transfer_tpu.ops.gram import gram_matrix
+
+__all__ = [
+    "reflect_conv2d",
+    "conv2d_same",
+    "conv_transpose2d",
+    "max_pool2d",
+    "instance_norm",
+    "gram_matrix",
+]

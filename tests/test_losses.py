@@ -1,0 +1,102 @@
+"""Loss parity tests against the reference's exact formulas.
+
+Each loss is recomputed in torch with the reference's reductions
+(/root/reference/losses/losses.py) and compared; style-loss broadcast of a
+single (c, c) target over the batch, the /c^2 scaling, content's /(c*h*w), and
+TV's /(b*c*h*w) are all covered. Tap/weight length validation (fixing defect
+#2, the silent zip truncation at losses/losses.py:19-20) is asserted to raise.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from fast_neural_style_transfer_tpu.losses import (
+    LossTaps,
+    content_loss,
+    style_loss,
+    style_targets_from_features,
+    total_variation_loss,
+)
+from fast_neural_style_transfer_tpu.losses.perceptual import REFERENCE_TAPS
+
+
+def nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def torch_gram(x):
+    b, c, h, w = x.shape
+    f = x.view(b, c, h * w)
+    return torch.bmm(f, f.transpose(1, 2))
+
+
+def test_style_loss_matches_reference_formula(rng):
+    weights = [0.25, 0.3, 0.45]
+    chans = [8, 16, 32]
+    feats, tgts, want = [], [], 0.0
+    for c, w in zip(chans, weights):
+        f = rng.standard_normal((3, c, 10, 10), dtype=np.float32)
+        s = rng.standard_normal((1, c, 10, 10), dtype=np.float32)
+        ft, st = torch.from_numpy(f), torch.from_numpy(s)
+        tgt = torch_gram(st).squeeze(0)
+        layer = F.mse_loss(torch_gram(ft), tgt.unsqueeze(0).expand(3, -1, -1),
+                           reduction="sum")
+        want += float(w * layer) / (c * c)
+        feats.append(nhwc(f))
+        tgts.append(jnp.asarray(tgt.numpy()))
+    got = float(style_loss(feats, tgts, weights))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_style_targets_from_features(rng):
+    f = rng.standard_normal((1, 8, 6, 6), dtype=np.float32)
+    (tgt,) = style_targets_from_features([nhwc(f)])
+    want = torch_gram(torch.from_numpy(f)).squeeze(0).numpy()
+    assert tgt.shape == (8, 8)
+    np.testing.assert_allclose(np.asarray(tgt), want, rtol=1e-4, atol=1e-3)
+
+
+def test_content_loss_matches_reference_formula(rng):
+    x = rng.standard_normal((4, 16, 8, 8), dtype=np.float32)
+    y = rng.standard_normal((4, 16, 8, 8), dtype=np.float32)
+    want = float(F.mse_loss(torch.from_numpy(x), torch.from_numpy(y),
+                            reduction="sum")) / (16 * 8 * 8)
+    got = float(content_loss(nhwc(x), nhwc(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_tv_loss_matches_reference_formula(rng):
+    x = rng.standard_normal((2, 3, 9, 11), dtype=np.float32)
+    xt = torch.from_numpy(x)
+    tv_h = torch.pow(xt[:, :, 1:, :] - xt[:, :, :-1, :], 2).sum()
+    tv_w = torch.pow(xt[:, :, :, 1:] - xt[:, :, :, :-1], 2).sum()
+    want = float(tv_h + tv_w) / (2 * 3 * 9 * 11)
+    got = float(total_variation_loss(nhwc(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_loss_taps_validation():
+    with pytest.raises(ValueError, match="zip-truncated|weights"):
+        LossTaps(style_taps=("relu1_2", "relu2_2", "relu3_3", "relu4_3"),
+                 style_weights=(0.25, 0.3, 0.45))
+
+
+def test_loss_taps_split():
+    taps = REFERENCE_TAPS
+    assert taps.all_taps == ("relu1_2", "relu2_2", "relu3_3", "relu4_3")
+    feats = [jnp.full((1, 2, 2, 1), i) for i in range(len(taps.all_taps))]
+    style_feats, content_feat = taps.split(feats)
+    assert len(style_feats) == 3
+    assert float(content_feat[0, 0, 0, 0]) == 3.0  # relu4_3 is also content tap
+
+
+def test_loss_taps_content_not_in_style():
+    taps = LossTaps()  # intended-behavior default: content relu4_2
+    assert taps.all_taps == ("relu1_2", "relu2_2", "relu3_3", "relu4_2")
+    feats = [jnp.full((1, 2, 2, 1), i) for i in range(4)]
+    style_feats, content_feat = taps.split(feats)
+    assert float(content_feat[0, 0, 0, 0]) == 3.0

@@ -1,0 +1,124 @@
+"""Op-level parity tests against PyTorch (CPU) ground truth.
+
+torch (without torchvision) is available in this image, so every op with
+PyTorch-defined semantics in the reference is verified numerically against a
+freshly-constructed torch equivalent — reflection-padded conv
+(/root/reference/models/model.py:67-75), ConvTranspose2d with output_padding
+(model.py:7-22), InstanceNorm2d affine (model.py:29-44), Gram via bmm
+(/root/reference/losses/losses.py:6-13), and the VGG building blocks.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax.numpy as jnp
+
+from fast_neural_style_transfer_tpu.ops import (
+    conv2d_same,
+    conv_transpose2d,
+    gram_matrix,
+    instance_norm,
+    max_pool2d,
+    reflect_conv2d,
+)
+
+
+def to_nhwc(x_nchw: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+
+
+def to_hwio(w_oihw: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+
+
+def from_nhwc(y: jnp.ndarray) -> np.ndarray:
+    return np.transpose(np.asarray(y), (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("k,stride,cin,cout,hw", [
+    (9, 2, 3, 8, 32),   # encoder conv1 shape family
+    (3, 2, 8, 16, 16),  # encoder conv2
+    (3, 1, 16, 16, 16), # residual conv
+    (9, 1, 8, 3, 20),   # final conv
+    (3, 1, 4, 4, 17),   # odd spatial size
+])
+def test_reflect_conv2d_matches_torch(rng, k, stride, cin, cout, hw):
+    x = rng.standard_normal((2, cin, hw, hw), dtype=np.float32)
+    conv = nn.Conv2d(cin, cout, k, stride=stride)
+    ref = nn.Sequential(nn.ReflectionPad2d(k // 2), conv)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = reflect_conv2d(
+        to_nhwc(x),
+        to_hwio(conv.weight.detach().numpy()),
+        jnp.asarray(conv.bias.detach().numpy()),
+        stride=stride,
+    )
+    np.testing.assert_allclose(from_nhwc(got), want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,stride,cin,cout,hw", [
+    (3, 2, 16, 8, 8),    # decoder up1/up2 family: k3 s2 p1 op1
+    (3, 2, 8, 4, 15),    # odd input
+    (4, 2, 6, 6, 9),     # different kernel
+    (3, 3, 5, 7, 6),     # stride 3, output_padding 2
+])
+def test_conv_transpose2d_matches_torch(rng, k, stride, cin, cout, hw):
+    pad = k // 2
+    out_pad = stride - 1
+    x = rng.standard_normal((2, cin, hw, hw), dtype=np.float32)
+    ref = nn.ConvTranspose2d(cin, cout, k, stride=stride, padding=pad,
+                             output_padding=out_pad)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    # torch ConvTranspose2d weight: (in, out, kh, kw) -> our (kh, kw, in, out)
+    w = np.transpose(ref.weight.detach().numpy(), (2, 3, 0, 1))
+    got = conv_transpose2d(
+        to_nhwc(x), jnp.asarray(w), jnp.asarray(ref.bias.detach().numpy()),
+        stride=stride, padding=pad, output_padding=out_pad,
+    )
+    assert got.shape[1] == want.shape[2] and got.shape[2] == want.shape[3]
+    np.testing.assert_allclose(from_nhwc(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_same_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 14, 14), dtype=np.float32)
+    conv = nn.Conv2d(8, 16, 3, padding=1)
+    with torch.no_grad():
+        want = conv(torch.from_numpy(x)).numpy()
+    got = conv2d_same(to_nhwc(x), to_hwio(conv.weight.detach().numpy()),
+                      jnp.asarray(conv.bias.detach().numpy()))
+    np.testing.assert_allclose(from_nhwc(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_max_pool2d_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 13, 13), dtype=np.float32)
+    with torch.no_grad():
+        want = nn.MaxPool2d(2, 2)(torch.from_numpy(x)).numpy()
+    got = max_pool2d(to_nhwc(x))
+    np.testing.assert_allclose(from_nhwc(got), want, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("affine_scale", [1.0, 0.3])
+def test_instance_norm_matches_torch(rng, affine_scale):
+    c = 12
+    x = rng.standard_normal((3, c, 9, 9), dtype=np.float32) * 4 + 1
+    ref = nn.InstanceNorm2d(c, affine=True)
+    with torch.no_grad():
+        ref.weight.mul_(affine_scale)
+        ref.bias.add_(0.1)
+        want = ref(torch.from_numpy(x)).numpy()
+    got = instance_norm(to_nhwc(x), jnp.asarray(ref.weight.detach().numpy()),
+                        jnp.asarray(ref.bias.detach().numpy()))
+    np.testing.assert_allclose(from_nhwc(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_gram_matches_torch_bmm(rng):
+    x = rng.standard_normal((2, 6, 5, 7), dtype=np.float32)  # NCHW
+    xt = torch.from_numpy(x)
+    feats = xt.view(2, 6, 35)
+    want = torch.bmm(feats, feats.transpose(1, 2)).numpy()
+    got = np.asarray(gram_matrix(to_nhwc(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
