@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Headline benchmark: p50 single-image 256x256 stylization latency.
+
+Baseline: the reference's only published latency anchor is ~3 s per 256x256
+image on an NVIDIA T4 (/root/reference/README.md:5,108). ``vs_baseline`` is
+the speedup factor (baseline_ms / measured_p50_ms).
+
+Measurement method: on this environment the TPU is reached through a tunnel
+where ``block_until_ready`` returns immediately and any device->host fetch
+pays a ~30 ms network RTT. So each sample times a CHAIN of k dependent
+forwards (output feeds input, so they serialize on device) ending in one
+scalar fetch, and reports (T_chain - T_rtt)/k — pure device time per
+iteration, the number that matters on real hardware.
+
+Prints ONE JSON line; extra fields carry secondary metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MS = 3000.0  # reference README.md:5 — ~3 s per image on T4
+
+
+def _measure_rtt(repeats: int = 5) -> float:
+    """Median ms of a warm trivial dispatch + scalar fetch (tunnel RTT)."""
+    f = jax.jit(lambda a: jnp.sum(a))
+    x = jnp.ones((8, 8), jnp.float32)
+    float(f(x))  # warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.median(ts))
+
+
+def _chain_time_ms(fn, x0, k: int) -> float:
+    """Total ms for k serialized applications of fn ending in a scalar fetch."""
+    t0 = time.perf_counter()
+    r = x0
+    for _ in range(k):
+        r = fn(r)
+    float(jnp.sum(r))
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def bench_inference(chain: int = 20, samples: int = 5):
+    from fast_neural_style_transfer_tpu.core.dtypes import Precision
+    from fast_neural_style_transfer_tpu.models import TransformerNet
+
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    prec = Precision.bf16() if on_tpu else Precision.f32()
+    fwd = jax.jit(lambda v: TransformerNet.apply(params, v, train=False, precision=prec))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 256, 256, 3)), jnp.float32)
+
+    _chain_time_ms(fwd, x, 2)  # compile + warm
+    rtt = _measure_rtt()
+    per_iter = []
+    for _ in range(samples):
+        total = _chain_time_ms(fwd, x, chain)
+        per_iter.append(max(total - rtt, 0.0) / chain)
+    return float(np.percentile(per_iter, 50)), rtt
+
+
+def bench_train_steps_per_sec(iters: int = 20, batch: int = 4) -> float:
+    from fast_neural_style_transfer_tpu.core.dtypes import Precision
+    from fast_neural_style_transfer_tpu.losses import LossTaps, style_targets_from_features
+    from fast_neural_style_transfer_tpu.models import TransformerNet, VGG19Features
+    from fast_neural_style_transfer_tpu.train import (
+        LossWeightSchedule,
+        create_train_state,
+        make_train_step,
+    )
+    from fast_neural_style_transfer_tpu.train.state import make_optimizer
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    prec = Precision.bf16() if on_tpu else Precision.f32()
+    taps = LossTaps(content_tap="relu4_2")
+    key = jax.random.PRNGKey(0)
+    vgg = VGG19Features.init(key)
+    style = jnp.asarray(np.random.default_rng(0).normal(size=(1, 256, 256, 3)), jnp.float32)
+    grams = tuple(
+        style_targets_from_features(
+            VGG19Features.apply(vgg, style, taps.style_taps, precision=prec)
+        )
+    )
+    opt = make_optimizer(1e-3, 1000)
+    state = create_train_state(TransformerNet.init(key), opt)
+    step = make_train_step(opt, taps=taps, weight_schedule=LossWeightSchedule(),
+                           precision=prec, lr=1e-3, total_steps=1000)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(batch, 256, 256, 3)), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+
+    # compile + warm, then force completion with a scalar fetch
+    for _ in range(2):
+        state, m = step(state, vgg, x, grams, rng)
+    float(m["loss"])
+    rtt = _measure_rtt(3)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, vgg, x, grams, rng)
+    float(m["loss"])  # the chain through `state` serializes all steps
+    total_ms = (time.perf_counter() - t0) * 1000.0 - rtt
+    return iters / max(total_ms / 1000.0, 1e-9)
+
+
+def main() -> None:
+    p50, rtt = bench_inference()
+    sps = bench_train_steps_per_sec()
+    print(json.dumps({
+        "metric": "stylize_256_p50_latency",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / max(p50, 1e-6), 1),
+        "train_steps_per_sec_b4": round(sps, 2),
+        "tunnel_rtt_ms": round(rtt, 1),
+        "device": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Training CLI — flag parity with /root/reference/begin_training.py:12-26,
+plus TPU-specific flags (precision, workers, vgg weights path)."""
+
+from __future__ import annotations
+
+import argparse
+
+from fast_neural_style_transfer_tpu.cli.config import (
+    dataset_dir,
+    loss_weights_config,
+    output_dir,
+    style_image,
+    training_config,
+    training_monitor_content_image,
+    vgg19_weights,
+    vgg_loss_layers,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="train fast neural style transfer (TPU)")
+    p.add_argument("--style_image", type=str, default=style_image,
+                   help="Path to style image")
+    p.add_argument("--training_monitor_content_image", type=str,
+                   default=training_monitor_content_image,
+                   help="Path to content image to monitor training")
+    p.add_argument("--dataset_dir", type=str, default=dataset_dir,
+                   help="Path to content dataset directory")
+    p.add_argument("--output_dir", type=str, default=output_dir,
+                   help="Directory for checkpoints, samples, final model")
+    p.add_argument("--content_weight", type=float,
+                   default=loss_weights_config["CONTENT_WEIGHT"],
+                   help="Weight for content loss (honored, unlike the reference)")
+    p.add_argument("--style_weight", type=float,
+                   default=loss_weights_config["STYLE_WEIGHT"],
+                   help="Weight for style loss")
+    p.add_argument("--tv_weight", type=float,
+                   default=loss_weights_config["TV_WEIGHT"],
+                   help="Weight for total variation loss")
+    p.add_argument("--num_epochs", type=int, default=training_config["NUM_EPOCHS"],
+                   help="Accepted for reference parity; training is step-bounded")
+    p.add_argument("--batch_size", type=int, default=training_config["BATCH_SIZE"],
+                   help="GLOBAL batch size (split across the device mesh)")
+    p.add_argument("--total_steps", type=int, default=training_config["TOTAL_STEPS"],
+                   help="Total training steps")
+    p.add_argument("--lr", type=float, default=training_config["LEARNING_RATE"],
+                   help="Learning rate (cosine-annealed to 1e-7)")
+    p.add_argument("--checkpoint_path", type=str, default=None,
+                   help="Resume: path to a checkpoint dir, .npz, or reference .pth")
+    # TPU-native extensions
+    p.add_argument("--vgg_weights", type=str, default=vgg19_weights,
+                   help="VGG19 ImageNet weights (.npz or torchvision .pth)")
+    p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"],
+                   help="Compute precision (bf16 uses the MXU natively)")
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="Host image-decode threads")
+    p.add_argument("--weight_decay_every", type=int, default=10_000,
+                   help="Halve content / double style weight every N steps (0=off)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from fast_neural_style_transfer_tpu.train import TrainConfig, train_style_transfer
+
+    cfg = TrainConfig(
+        style_image=args.style_image,
+        dataset_dir=args.dataset_dir,
+        output_dir=args.output_dir,
+        vgg_weights=args.vgg_weights,
+        monitor_image=args.training_monitor_content_image,
+        total_steps=args.total_steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        image_size=tuple(training_config["TRAIN_IMAGE_SHAPE"]),
+        content_weight=args.content_weight,
+        style_weight=args.style_weight,
+        tv_weight=args.tv_weight,
+        weight_decay_every=args.weight_decay_every,
+        content_tap=vgg_loss_layers["CONTENT_LAYER"],
+        style_taps=tuple(vgg_loss_layers["STYLE_LAYERS"]),
+        style_tap_weights=tuple(vgg_loss_layers["STYLE_LAYER_WEIGHTS"]),
+        precision=args.precision,
+        seed=args.seed,
+        num_workers=args.num_workers,
+        resume=args.checkpoint_path is not None,
+    )
+    train_style_transfer(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Host input pipeline: shuffle, batch, normalize, prefetch to device.
+
+TPU-first replacement for the reference's
+``DataLoader(batch_size, shuffle=True, num_workers=2, pin_memory=True,
+drop_last=True)`` (/root/reference/train.py:106-107):
+
+- a thread pool decodes/resizes JPEGs concurrently (PIL releases the GIL in
+  its decoders, so threads — not processes — suffice on TPU hosts);
+- batches are normalized to network space vectorized in NumPy;
+- a background prefetcher keeps ``prefetch`` batches ahead, transferring each
+  to device (optionally with a NamedSharding over the batch axis) while the
+  previous step computes — the double-buffering SURVEY.md §2.2 calls for;
+- under multi-host SPMD, each process decodes only its slice of the global
+  batch and the global sharded array is assembled with
+  ``jax.make_array_from_process_local_data`` (DCN never carries image bytes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from fast_neural_style_transfer_tpu.data.dataset import ImageFolderDataset
+from fast_neural_style_transfer_tpu.utils.image_io import IMAGENET_MEAN, IMAGENET_STD
+
+_SENTINEL = object()
+
+
+class InputPipeline:
+    def __init__(
+        self,
+        dataset: ImageFolderDataset,
+        global_batch_size: int,
+        *,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        drop_last: bool = True,
+    ):
+        if global_batch_size % jax.process_count() != 0:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"{jax.process_count()} processes"
+            )
+        self.dataset = dataset
+        self.global_batch_size = global_batch_size
+        self.local_batch_size = global_batch_size // jax.process_count()
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self.drop_last = drop_last
+
+    # -- host-side batch assembly ------------------------------------------
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + epoch)
+        idx = rng.permutation(len(self.dataset))
+        n_batches = len(idx) // self.global_batch_size if self.drop_last else -(
+            -len(idx) // self.global_batch_size
+        )
+        return idx[: n_batches * self.global_batch_size].reshape(-1, self.global_batch_size)
+
+    def _local_slice(self, batch_idx: np.ndarray) -> np.ndarray:
+        p = jax.process_index()
+        return batch_idx[p * self.local_batch_size : (p + 1) * self.local_batch_size]
+
+    def _make_batch(self, pool: ThreadPoolExecutor, batch_idx: np.ndarray) -> np.ndarray:
+        imgs = list(pool.map(self.dataset.__getitem__, self._local_slice(batch_idx)))
+        u8 = np.stack(imgs)  # (b, h, w, 3) uint8
+        x = u8.astype(np.float32) / 255.0
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    def host_batches(self, num_epochs: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Local (per-process) normalized float32 NHWC batches, epoch-shuffled."""
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            epoch = 0
+            while num_epochs is None or epoch < num_epochs:
+                for batch_idx in self._epoch_indices(epoch):
+                    yield self._make_batch(pool, batch_idx)
+                epoch += 1
+
+    # -- device prefetch ----------------------------------------------------
+
+    def _to_device(self, host_batch: np.ndarray):
+        if self.sharding is None:
+            return jax.device_put(host_batch)
+        global_shape = (self.global_batch_size,) + host_batch.shape[1:]
+        return jax.make_array_from_process_local_data(
+            self.sharding, host_batch, global_shape
+        )
+
+    def __iter__(self):
+        return self.device_batches()
+
+    def device_batches(self, num_epochs: Optional[int] = None):
+        """Batches already transferred to device(s), ``prefetch`` deep."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for hb in self.host_batches(num_epochs):
+                    if stop.is_set():
+                        return
+                    q.put(self._to_device(hb))
+                q.put(_SENTINEL)
+            except BaseException as e:  # surface worker failure to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

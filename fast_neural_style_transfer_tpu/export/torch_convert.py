@@ -1,0 +1,135 @@
+"""Bidirectional stylizer-checkpoint interchange with the reference format.
+
+The reference trains/serves PyTorch ``StyleTransferNet`` state_dicts, either
+bare or wrapped in a checkpoint dict under ``model_state_dict``
+(/root/reference/train.py:269-283, inference.py:32-36). This module maps that
+layout onto our parameter pytree and back, so
+
+- reference-trained ``.pth`` checkpoints run on this framework unchanged
+  (the SSIM-parity path), and
+- TPU-trained params export to a ``.pth`` the reference's ``inference.py``
+  loads as a drop-in.
+
+Layout mapping (reference module tree -> our pytree):
+    conv1.conv.{weight,bias}            -> conv1.{w,b}       OIHW -> HWIO
+    norm1.{weight,bias}                 -> norm1.{gamma,beta}
+    conv2.conv / norm2                  -> conv2 / norm2
+    res_blocks.{i}.conv1.conv           -> res_blocks[i].conv1
+    res_blocks.{i}.in1                  -> res_blocks[i].in1  (same for conv2/in2)
+    up1.upsample_conv.{weight,bias}     -> up1.{w,b}          IOHW -> HWIO
+    up2.upsample_conv / norm3 / norm4   -> up2 / norm3 / norm4
+    final_conv.conv                     -> final_conv
+
+ConvTranspose2d stores weights (in, out, kh, kw); Conv2d stores
+(out, in, kh, kw) — both become (kh, kw, in, out) HWIO here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_neural_style_transfer_tpu.models.transformer import NUM_RES_BLOCKS
+
+Params = Dict[str, Any]
+
+# (our conv name path, torch key prefix, is_transpose)
+_CONV_MAP: List[Tuple[Tuple, str, bool]] = [
+    (("conv1",), "conv1.conv", False),
+    (("conv2",), "conv2.conv", False),
+    (("up1",), "up1.upsample_conv", True),
+    (("up2",), "up2.upsample_conv", True),
+    (("final_conv",), "final_conv.conv", False),
+] + [
+    ((("res_blocks", i, c)), f"res_blocks.{i}.{c}.conv", False)
+    for i in range(NUM_RES_BLOCKS)
+    for c in ("conv1", "conv2")
+]
+
+_NORM_MAP: List[Tuple[Tuple, str]] = [
+    (("norm1",), "norm1"),
+    (("norm2",), "norm2"),
+    (("norm3",), "norm3"),
+    (("norm4",), "norm4"),
+] + [
+    ((("res_blocks", i, n)), f"res_blocks.{i}.{n}")
+    for i in range(NUM_RES_BLOCKS)
+    for n in ("in1", "in2")
+]
+
+
+def _get(params: Params, path) -> Dict[str, Any]:
+    node: Any = params
+    for k in path:
+        node = node[k]
+    return node
+
+
+def _to_np(v) -> np.ndarray:
+    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+
+def from_torch_state_dict(state_dict: Dict[str, Any]) -> Params:
+    """Reference StyleTransferNet state_dict -> our parameter pytree."""
+    params: Params = {"res_blocks": [{} for _ in range(NUM_RES_BLOCKS)]}
+    for path, prefix, transpose in _CONV_MAP:
+        w = _to_np(state_dict[prefix + ".weight"]).astype(np.float32)
+        b = _to_np(state_dict[prefix + ".bias"]).astype(np.float32)
+        # Conv2d OIHW -> HWIO; ConvTranspose2d IOHW -> HWIO
+        perm = (2, 3, 0, 1) if transpose else (2, 3, 1, 0)
+        node = {"w": jnp.asarray(np.transpose(w, perm)), "b": jnp.asarray(b)}
+        _set(params, path, node)
+    for path, prefix in _NORM_MAP:
+        node = {
+            "gamma": jnp.asarray(_to_np(state_dict[prefix + ".weight"]), jnp.float32),
+            "beta": jnp.asarray(_to_np(state_dict[prefix + ".bias"]), jnp.float32),
+        }
+        _set(params, path, node)
+    return params
+
+
+def to_torch_state_dict(params: Params) -> Dict[str, np.ndarray]:
+    """Our parameter pytree -> reference state_dict layout (NumPy values)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, prefix, transpose in _CONV_MAP:
+        node = _get(params, path)
+        w = np.asarray(node["w"], np.float32)  # HWIO
+        perm = (2, 3, 0, 1) if transpose else (3, 2, 0, 1)
+        sd[prefix + ".weight"] = np.transpose(w, perm)
+        sd[prefix + ".bias"] = np.asarray(node["b"], np.float32)
+    for path, prefix in _NORM_MAP:
+        node = _get(params, path)
+        sd[prefix + ".weight"] = np.asarray(node["gamma"], np.float32)
+        sd[prefix + ".bias"] = np.asarray(node["beta"], np.float32)
+    return sd
+
+
+def _set(params: Params, path, node) -> None:
+    parent: Any = params
+    for k in path[:-1]:
+        parent = parent[k]
+    parent[path[-1]] = node
+
+
+def load_torch_checkpoint(path: str) -> Params:
+    """Load a reference ``.pth``/``.bin`` (bare state_dict or training
+    checkpoint dict with ``model_state_dict`` — train.py:272-279)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):  # the pickled-full-module .bin variant
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    return from_torch_state_dict(obj)
+
+
+def save_torch_checkpoint(params: Params, path: str) -> None:
+    """Write a ``.pth`` the reference's inference.py loads directly
+    (wrapped in the checkpoint-dict layout it expects at inference.py:33-36)."""
+    import torch
+
+    sd = {k: torch.from_numpy(v.copy()) for k, v in to_torch_state_dict(params).items()}
+    torch.save({"model_state_dict": sd}, path)

@@ -36,14 +36,20 @@ def _conv(
     lhs_dilation=None,
     accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
+    # preferred_element_type is passed only when it matches the input dtype:
+    # this JAX version can't transpose (grad) a conv whose output dtype
+    # differs from its inputs'. bf16 convs still accumulate in f32 inside the
+    # MXU (XLA's hardware default); only the *stored* output is bf16.
+    w = w.astype(x.dtype)
+    pet = accum_dtype if jnp.dtype(accum_dtype) == x.dtype else None
     return lax.conv_general_dilated(
         x,
-        w.astype(x.dtype),
+        w,
         window_strides=(stride, stride),
         padding=padding,
         lhs_dilation=lhs_dilation,
         dimension_numbers=DIMS,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=pet,
     )
 
 

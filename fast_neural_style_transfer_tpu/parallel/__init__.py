@@ -1,0 +1,6 @@
+from fast_neural_style_transfer_tpu.parallel.mesh import (
+    MeshPlan,
+    make_mesh_plan,
+)
+
+__all__ = ["MeshPlan", "make_mesh_plan"]

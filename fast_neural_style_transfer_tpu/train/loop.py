@@ -1,0 +1,189 @@
+"""Training orchestration — the rebuild of /root/reference/train.py:68-302.
+
+Same capabilities, TPU-shaped: one jitted SPMD train step over a device mesh,
+host input pipeline prefetching into it, and the reference's cadences kept —
+log every 100 iters (train.py:217-234), monitor sample every 1000
+(train.py:242-266), checkpoint every 5000 (train.py:269-283), final artifact
+save at the end (train.py:295-301). The loop is step-bounded like the
+reference's (its ``num_epochs`` arg was dead — defect ledger, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_neural_style_transfer_tpu.core.dtypes import Precision, canonical_compute_dtype
+from fast_neural_style_transfer_tpu.data import ImageFolderDataset, InputPipeline
+from fast_neural_style_transfer_tpu.losses import LossTaps, style_targets_from_features
+from fast_neural_style_transfer_tpu.models import TransformerNet, VGG19Features
+from fast_neural_style_transfer_tpu.models.vgg_weights import resolve_params
+from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+from fast_neural_style_transfer_tpu.train.checkpoint import CheckpointManager, save_params_npz
+from fast_neural_style_transfer_tpu.train.schedule import LossWeightSchedule
+from fast_neural_style_transfer_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+    replicate_state,
+)
+from fast_neural_style_transfer_tpu.train.step import make_eval_forward, make_train_step
+from fast_neural_style_transfer_tpu.utils import MetricLogger, load_image, save_image
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Flag-parity superset of the reference CLI (begin_training.py:12-26)."""
+
+    style_image: str
+    dataset_dir: str
+    output_dir: str = "training_output"
+    vgg_weights: Optional[str] = None
+    monitor_image: Optional[str] = None
+
+    total_steps: int = 80_000
+    batch_size: int = 20  # GLOBAL batch (split over the data mesh axis)
+    lr: float = 1e-3
+    image_size: Tuple[int, int] = (256, 256)
+
+    content_weight: float = 1000.0
+    style_weight: float = 1.0
+    tv_weight: float = 10.0
+    weight_decay_every: int = 10_000  # 0 disables the halving/doubling schedule
+
+    content_tap: str = "relu4_2"  # the reference *intended* relu4_2 (config.py:18)
+    style_taps: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")
+    style_tap_weights: Tuple[float, ...] = (0.25, 0.3, 0.45)
+
+    precision: str = "f32"
+    seed: int = 0
+    num_workers: int = 8
+
+    log_every: int = 100
+    monitor_every: int = 1000
+    checkpoint_every: int = 5000
+    resume: bool = True
+    max_checkpoints: int = 3
+
+
+def train_style_transfer(cfg: TrainConfig) -> str:
+    """Run training; returns the path of the final params artifact."""
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    prec = canonical_compute_dtype(cfg.precision)
+    taps = LossTaps(
+        style_taps=tuple(cfg.style_taps),
+        style_weights=tuple(cfg.style_tap_weights),
+        content_tap=cfg.content_tap,
+    )
+
+    plan = make_mesh_plan()
+    plan.check_batch(cfg.batch_size)
+    print(
+        f"mesh: {plan.mesh.shape} over {len(plan.mesh.devices.flat)} "
+        f"{plan.mesh.devices.flat[0].platform} device(s); "
+        f"global batch {cfg.batch_size}",
+        flush=True,
+    )
+
+    # frozen VGG19 + one-time style Gram targets (reference train.py:86-89,110-118)
+    vgg_params = resolve_params(cfg.vgg_weights, seed=cfg.seed)
+    vgg_params = jax.device_put(vgg_params, plan.replicated)
+    style_img = load_image(cfg.style_image, cfg.image_size)
+    style_feats = VGG19Features.apply(
+        vgg_params, jnp.asarray(style_img), taps.style_taps, precision=prec
+    )
+    style_grams = tuple(
+        jax.device_put(g, plan.replicated)
+        for g in style_targets_from_features(style_feats)
+    )
+
+    # stylizer + optimizer state, replicated over the mesh
+    optimizer = make_optimizer(cfg.lr, cfg.total_steps)
+    params = TransformerNet.init(jax.random.PRNGKey(cfg.seed))
+    state = create_train_state(params, optimizer)
+    state = replicate_state(state, plan.replicated)
+
+    ckpt = CheckpointManager(
+        os.path.join(cfg.output_dir, "checkpoints"), max_to_keep=cfg.max_checkpoints
+    )
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}", flush=True)
+
+    weight_schedule = LossWeightSchedule(
+        content=cfg.content_weight,
+        style=cfg.style_weight,
+        tv=cfg.tv_weight,
+        decay_every=cfg.weight_decay_every,
+    )
+    train_step = make_train_step(
+        optimizer,
+        taps=taps,
+        weight_schedule=weight_schedule,
+        precision=prec,
+        lr=cfg.lr,
+        total_steps=cfg.total_steps,
+    )
+    eval_forward = make_eval_forward(precision=prec)
+
+    dataset = ImageFolderDataset(cfg.dataset_dir, cfg.image_size, seed=cfg.seed)
+    pipeline = InputPipeline(
+        dataset,
+        cfg.batch_size,
+        seed=cfg.seed,
+        num_workers=cfg.num_workers,
+        sharding=plan.batch_sharding,
+    )
+
+    monitor_img = None
+    if cfg.monitor_image:
+        monitor_img = jnp.asarray(load_image(cfg.monitor_image, cfg.image_size))
+
+    logger = MetricLogger(
+        os.path.join(cfg.output_dir, "metrics.jsonl"), print_every=cfg.log_every
+    )
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    start_step = int(state.step)
+    t_start = time.perf_counter()
+
+    batches = pipeline.device_batches()
+    step = start_step
+    for batch in batches:
+        if step >= cfg.total_steps:
+            break
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, vgg_params, batch, style_grams, step_rng)
+        step += 1
+        logger.update({k: v for k, v in metrics.items()})
+
+        if logger.should_log(step):
+            logger.flush(step)
+        if monitor_img is not None and step % cfg.monitor_every == 0:
+            out = eval_forward(state.params, monitor_img)
+            path = os.path.join(cfg.output_dir, f"sample_step_{step}.jpg")
+            save_image(np.asarray(out), path)
+            print(f"saved monitor sample {path}", flush=True)
+        if step % cfg.checkpoint_every == 0:
+            ckpt.save(step, state)
+            print(f"checkpoint saved at step {step}", flush=True)
+
+    if logger._count:  # flush any sub-cadence remainder so short runs log too
+        logger.flush(step)
+    wall = time.perf_counter() - t_start
+    done = step - start_step
+    if done:
+        print(f"trained {done} steps in {wall:.1f}s ({done / wall:.2f} steps/s)", flush=True)
+
+    ckpt.save(step, state)
+    ckpt.wait()
+    final_path = os.path.join(cfg.output_dir, "style_transfer_final.npz")
+    save_params_npz(jax.device_get(state.params), final_path)
+    print(f"final params saved to {final_path}", flush=True)
+    logger.close()
+    ckpt.close()
+    return final_path

@@ -1,0 +1,152 @@
+"""The jitted train step: all three forwards + losses + grad + Adam update.
+
+The reference runs stylizer forward, two VGG forwards, losses, backward and
+optimizer step as separate eager calls per iteration
+(/root/reference/train.py:162-291). Here the *entire* iteration is one XLA
+program: jit fuses the element-wise work into the convs, overlaps the VGG
+branches, and — when the batch is sharded over the mesh's ``data`` axis with
+replicated params — inserts the gradient ``psum`` over ICI automatically.
+
+Reproduced semantics:
+- stylized activations clamped to [-3, 3] before the loss (train.py:174)
+- content features computed with gradients stopped (train.py:177-178's
+  no_grad); style/content/tv losses with reference-exact normalizations
+- NaN/inf loss guard: a non-finite total loss skips the parameter/optimizer
+  update for that step (train.py:193-196) — expressed as a ``jnp.where``
+  select so it stays branch-free under jit
+- loss-weight schedule evaluated from the step counter (resumable, defect #5)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fast_neural_style_transfer_tpu.core.dtypes import Precision
+from fast_neural_style_transfer_tpu.losses import (
+    LossTaps,
+    content_loss,
+    style_loss,
+    total_variation_loss,
+)
+from fast_neural_style_transfer_tpu.models import TransformerNet, VGG19Features
+from fast_neural_style_transfer_tpu.train.schedule import (
+    LossWeightSchedule,
+    cosine_lr_schedule,
+)
+from fast_neural_style_transfer_tpu.train.state import TrainState
+
+ACTIVATION_CLAMP = 3.0
+
+
+def loss_fn(
+    params: Any,
+    vgg_params: Any,
+    batch: jnp.ndarray,
+    style_grams: Sequence[jnp.ndarray],
+    weights: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    rng: Optional[jax.Array],
+    *,
+    taps: LossTaps,
+    precision: Precision,
+    train: bool = True,
+):
+    """Weighted perceptual loss for one batch; returns (total, metrics)."""
+    cw, sw, tw = weights
+    stylized = TransformerNet.apply(params, batch, train=train, rng=rng, precision=precision)
+    stylized = jnp.clip(stylized, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
+
+    tap_names = taps.all_taps
+    content_feats = VGG19Features.apply(
+        jax.lax.stop_gradient(vgg_params),
+        jax.lax.stop_gradient(batch),
+        tap_names,
+        precision=precision,
+    )
+    content_feats = [jax.lax.stop_gradient(f) for f in content_feats]
+    stylized_feats = VGG19Features.apply(vgg_params, stylized, tap_names, precision=precision)
+
+    s_feats, c_feat_stylized = taps.split(stylized_feats)
+    _, c_feat_target = taps.split(content_feats)
+
+    c_loss = cw * content_loss(c_feat_stylized, c_feat_target)
+    s_loss = sw * style_loss(s_feats, style_grams, taps.style_weights)
+    t_loss = tw * total_variation_loss(stylized)
+    total = c_loss + s_loss + t_loss
+    metrics = {
+        "loss": total,
+        "content_loss": c_loss,
+        "style_loss": s_loss,
+        "tv_loss": t_loss,
+    }
+    return total, metrics
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    *,
+    taps: LossTaps = LossTaps(),
+    weight_schedule: LossWeightSchedule = LossWeightSchedule(),
+    precision: Precision = Precision.f32(),
+    lr: float = 1e-3,
+    total_steps: int = 80_000,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted ``step(state, vgg_params, batch, style_grams, rng)``.
+
+    ``vgg_params``/``style_grams`` are traced arguments (not baked constants)
+    so one compilation serves any style image and any VGG weights.
+    """
+    lr_schedule = cosine_lr_schedule(lr, total_steps)
+
+    def step_fn(
+        state: TrainState,
+        vgg_params: Any,
+        batch: jnp.ndarray,
+        style_grams: Tuple[jnp.ndarray, ...],
+        rng: jax.Array,
+    ):
+        weights = weight_schedule(state.step)
+        grads, metrics = jax.grad(
+            functools.partial(loss_fn, taps=taps, precision=precision),
+            has_aux=True,
+        )(state.params, vgg_params, batch, style_grams, weights, rng)
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN/inf guard: keep old params & opt state when the loss blew up.
+        finite = jnp.isfinite(metrics["loss"])
+        select = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
+        new_params = select(new_params, state.params)
+        new_opt_state = select(new_opt_state, state.opt_state)
+
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["lr"] = lr_schedule(state.step)
+        metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_forward(
+    *, precision: Precision = Precision.f32()
+) -> Callable:
+    """Jitted eval-mode stylizer forward (monitor sampling / inference)."""
+
+    def fwd(params: Any, x: jnp.ndarray) -> jnp.ndarray:
+        return TransformerNet.apply(params, x, train=False, precision=precision)
+
+    return jax.jit(fwd)

@@ -1,0 +1,87 @@
+"""Data layer tests: scan, robust decode, batching, normalization, sharding."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from fast_neural_style_transfer_tpu.data import ImageFolderDataset, InputPipeline
+from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+from fast_neural_style_transfer_tpu.utils.image_io import IMAGENET_MEAN, IMAGENET_STD
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    for i in range(10):
+        arr = rng.integers(0, 256, (40 + i, 50, 3), dtype=np.uint8)
+        where = sub if i % 2 else tmp_path
+        Image.fromarray(arr).save(where / f"img_{i}.jpg")
+    (tmp_path / "notes.txt").write_text("not an image")
+    return str(tmp_path)
+
+
+def test_scan_recursive_and_extension_filter(image_dir):
+    ds = ImageFolderDataset(image_dir, (32, 32))
+    assert len(ds) == 10  # txt excluded, nested dir included
+
+
+def test_getitem_resizes_to_fixed_shape(image_dir):
+    ds = ImageFolderDataset(image_dir, (32, 48))
+    img = ds[0]
+    assert img.shape == (32, 48, 3) and img.dtype == np.uint8
+
+
+def test_decode_error_falls_back_to_substitute(image_dir):
+    bad = os.path.join(image_dir, "zz_corrupt.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8 not a real jpeg")
+    ds = ImageFolderDataset(image_dir, (32, 32), seed=0)
+    idx = ds.files.index(bad)
+    img = ds[idx]  # must substitute another image, not raise
+    assert img.shape == (32, 32, 3)
+
+
+def test_empty_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ImageFolderDataset(str(tmp_path))
+
+
+def test_host_batches_shapes_and_normalization(image_dir):
+    ds = ImageFolderDataset(image_dir, (32, 32))
+    pipe = InputPipeline(ds, global_batch_size=4, num_workers=2)
+    batch = next(pipe.host_batches(num_epochs=1))
+    assert batch.shape == (4, 32, 32, 3) and batch.dtype == np.float32
+    # values must lie in the ImageNet-normalized range of [0,1] inputs
+    lo = (0.0 - IMAGENET_MEAN) / IMAGENET_STD
+    hi = (1.0 - IMAGENET_MEAN) / IMAGENET_STD
+    assert (batch >= lo - 1e-5).all() and (batch <= hi + 1e-5).all()
+
+
+def test_epoch_drop_last_and_shuffle_determinism(image_dir):
+    ds = ImageFolderDataset(image_dir, (16, 16))
+    pipe = InputPipeline(ds, global_batch_size=4, num_workers=2, seed=3)
+    batches = list(pipe.host_batches(num_epochs=1))
+    assert len(batches) == 2  # 10 images, batch 4, drop_last
+    pipe2 = InputPipeline(ds, global_batch_size=4, num_workers=2, seed=3)
+    batches2 = list(pipe2.host_batches(num_epochs=1))
+    np.testing.assert_array_equal(batches[0], batches2[0])
+
+
+def test_device_batches_sharded_over_mesh(image_dir):
+    plan = make_mesh_plan()
+    assert plan.num_data_shards == 8  # conftest forces 8 virtual CPU devices
+    ds = ImageFolderDataset(image_dir, (16, 16))
+    pipe = InputPipeline(ds, global_batch_size=8, num_workers=2,
+                         sharding=plan.batch_sharding)
+    batch = next(iter(pipe))
+    assert batch.shape == (8, 16, 16, 3)
+    assert batch.sharding.is_equivalent_to(plan.batch_sharding, batch.ndim)
+    # each device holds exactly one image of the batch
+    assert len(batch.addressable_shards) == 8
+    assert batch.addressable_shards[0].data.shape == (1, 16, 16, 3)

@@ -1,0 +1,74 @@
+"""Inference tests: bucketing, arbitrary resolution, file-in/file-out CLI path."""
+
+import numpy as np
+from PIL import Image
+
+import jax
+
+from fast_neural_style_transfer_tpu.infer import Stylizer, stylize_image_file
+from fast_neural_style_transfer_tpu.models import TransformerNet
+from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+from fast_neural_style_transfer_tpu.utils.image_io import (
+    denormalize_image,
+    load_image,
+    normalize_image,
+    save_image,
+)
+
+
+def _params():
+    return TransformerNet.init(jax.random.PRNGKey(0))
+
+
+def test_stylizer_preserves_input_resolution():
+    s = Stylizer(_params())
+    for h, w in [(64, 64), (100, 130), (57, 200)]:
+        x = np.random.default_rng(0).normal(size=(1, h, w, 3)).astype(np.float32)
+        out = s(x)
+        assert out.shape == (1, h, w, 3)
+
+
+def test_bucketing_matches_direct_forward():
+    """Padding to the bucket and cropping back must equal the direct forward
+    when the input is already bucket-aligned."""
+    s = Stylizer(_params())
+    x = np.random.default_rng(1).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    direct = np.asarray(
+        TransformerNet.apply(s.params, jax.numpy.asarray(x), train=False)
+    )
+    np.testing.assert_allclose(s(x), direct, rtol=1e-3, atol=1e-5)
+
+
+def test_stylize_unbatched_returns_01_range():
+    s = Stylizer(_params())
+    img = normalize_image(
+        np.random.default_rng(2).integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    )
+    out = s.stylize(img)
+    assert out.shape == (70, 90, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_stylize_image_file_end_to_end(tmp_path):
+    rng = np.random.default_rng(3)
+    content = tmp_path / "content.jpg"
+    Image.fromarray(rng.integers(0, 256, (120, 80, 3), dtype=np.uint8)).save(content)
+    model = tmp_path / "model.npz"
+    save_params_npz(_params(), str(model))
+
+    out_path = stylize_image_file(str(model), str(content), str(tmp_path / "out.jpg"))
+    with Image.open(out_path) as im:
+        assert im.size == (80, 120)  # PIL reports (w, h)
+
+
+def test_image_io_normalize_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    Image.fromarray(arr).save(p)
+    x = load_image(str(p))  # normalized NHWC
+    back = denormalize_image(x[0])
+    np.testing.assert_allclose(back, arr.astype(np.float32) / 255.0, atol=1e-6)
+    save_image(x, str(tmp_path / "y.png"))
+    with Image.open(tmp_path / "y.png") as im:
+        np.testing.assert_array_equal(np.asarray(im), arr)

@@ -1,0 +1,100 @@
+"""End-to-end: a tiny training run through the full orchestration layer
+(mesh, pipeline, jitted SPMD step, monitor sampling, checkpointing, final
+artifact), then inference from the produced artifact. The SURVEY.md §4 tier-(d)
+integration test."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fast_neural_style_transfer_tpu.infer import stylize_image_file
+from fast_neural_style_transfer_tpu.train import TrainConfig, train_style_transfer
+
+
+@pytest.fixture
+def workspace(tmp_path):
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(10):
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)).save(
+            data / f"img_{i}.jpg"
+        )
+    style = tmp_path / "style.jpg"
+    Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)).save(style)
+    monitor = tmp_path / "monitor.jpg"
+    Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)).save(monitor)
+    return tmp_path
+
+
+def test_tiny_training_run_end_to_end(workspace):
+    out_dir = str(workspace / "out")
+    cfg = TrainConfig(
+        style_image=str(workspace / "style.jpg"),
+        dataset_dir=str(workspace / "data"),
+        output_dir=out_dir,
+        monitor_image=str(workspace / "monitor.jpg"),
+        total_steps=4,
+        batch_size=8,
+        image_size=(32, 32),
+        log_every=2,
+        monitor_every=2,
+        checkpoint_every=2,
+        num_workers=2,
+        resume=False,
+    )
+    with pytest.warns(UserWarning, match="VGG19"):  # random-VGG fallback warning
+        final = train_style_transfer(cfg)
+
+    assert os.path.exists(final)
+    assert glob.glob(os.path.join(out_dir, "sample_step_*.jpg"))
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+    records = [json.loads(l) for l in open(metrics_path)]
+    assert records and all(np.isfinite(r["loss"]) for r in records)
+    assert records[-1]["step"] == 4
+
+    # inference from the final artifact
+    out_img = stylize_image_file(
+        final, str(workspace / "monitor.jpg"), str(workspace / "styled.jpg")
+    )
+    with Image.open(out_img) as im:
+        assert im.size == (40, 40)
+
+    # resume continues from the saved checkpoint
+    cfg.resume = True
+    cfg.total_steps = 6
+    with pytest.warns(UserWarning, match="VGG19"):
+        train_style_transfer(cfg)
+    records = [json.loads(l) for l in open(metrics_path)]
+    assert records[-1]["step"] == 6
+
+
+def test_cli_parsers_flag_parity():
+    from fast_neural_style_transfer_tpu.cli.begin_inference import (
+        build_parser as infer_parser,
+    )
+    from fast_neural_style_transfer_tpu.cli.begin_training import (
+        build_parser as train_parser,
+    )
+
+    # every reference begin_training.py flag must parse (begin_training.py:12-26)
+    args = train_parser().parse_args(
+        [
+            "--style_image", "s.jpg", "--training_monitor_content_image", "m.jpg",
+            "--dataset_dir", "d", "--output_dir", "o",
+            "--content_weight", "5", "--style_weight", "2", "--tv_weight", "1",
+            "--num_epochs", "1", "--batch_size", "4", "--total_steps", "10",
+            "--lr", "1e-4", "--checkpoint_path", "c",
+        ]
+    )
+    assert args.content_weight == 5.0 and args.batch_size == 4
+
+    # reference begin_inference.py flags (begin_inference.py:11-14)
+    args = infer_parser().parse_args(
+        ["--output_dir", "o", "--content_image", "c.jpg", "--model_path", "m.npz"]
+    )
+    assert args.model_path == "m.npz"

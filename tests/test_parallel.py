@@ -1,0 +1,120 @@
+"""SPMD tests on the 8-virtual-device CPU mesh (conftest.py forces
+xla_force_host_platform_device_count=8 — the multi-node stand-in per
+SURVEY.md §4)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fast_neural_style_transfer_tpu.losses import LossTaps, style_targets_from_features
+from fast_neural_style_transfer_tpu.models import TransformerNet, VGG19Features
+from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+from fast_neural_style_transfer_tpu.train import (
+    LossWeightSchedule,
+    create_train_state,
+    make_train_step,
+)
+from fast_neural_style_transfer_tpu.train.state import make_optimizer, replicate_state
+
+
+def test_mesh_plan_shapes():
+    plan = make_mesh_plan()
+    assert plan.mesh.shape == {"data": 8}
+    plan.check_batch(16)
+    try:
+        plan.check_batch(3)
+        assert False, "expected divisibility error"
+    except ValueError:
+        pass
+
+
+def test_mesh_plan_spatial_axis():
+    plan = make_mesh_plan(spatial=2)
+    assert plan.mesh.shape == {"data": 4, "space": 2}
+    spec = plan.batch_sharding.spec
+    assert spec[0] == "data" and spec[1] == "space"
+
+
+def _setup(batch, hw=32, total_steps=10):
+    key = jax.random.PRNGKey(0)
+    taps = LossTaps(content_tap="relu4_2")
+    vgg = VGG19Features.init(key)
+    style = jax.random.normal(jax.random.PRNGKey(7), (1, hw, hw, 3))
+    grams = tuple(
+        style_targets_from_features(VGG19Features.apply(vgg, style, taps.style_taps))
+    )
+    opt = make_optimizer(1e-3, total_steps)
+    state = create_train_state(TransformerNet.init(key), opt)
+    step = make_train_step(opt, taps=taps, weight_schedule=LossWeightSchedule(),
+                           lr=1e-3, total_steps=total_steps, donate=False)
+    batch_x = jax.random.normal(jax.random.PRNGKey(3), (batch, hw, hw, 3))
+    return state, vgg, batch_x, grams, step
+
+
+def test_dp_sharded_step_matches_single_device():
+    """Gradient psum over the mesh must reproduce single-device math."""
+    state, vgg, batch, grams, step = _setup(batch=8)
+
+    # single-device (fully local) result — dropout off so runs are comparable
+    s1, m1 = step(state, vgg, batch, grams, None)
+
+    # DP-sharded result
+    plan = make_mesh_plan()
+    state_r = replicate_state(state, plan.replicated)
+    vgg_r = jax.device_put(vgg, plan.replicated)
+    grams_r = tuple(jax.device_put(g, plan.replicated) for g in grams)
+    batch_s = jax.device_put(batch, plan.batch_sharding)
+    s8, m8 = step(state_r, vgg_r, batch_s, grams_r, None)
+
+    assert float(m1["loss"]) == np.float32(float(m8["loss"])) or np.isclose(
+        float(m1["loss"]), float(m8["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        # absolute tolerance: Adam normalizes near-zero grads to +-lr, so a
+        # reduction-order sign flip on a ~0 grad element gives a bounded
+        # absolute (not relative) param difference
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=3e-4
+        ),
+        s1.params,
+        s8.params,
+    )
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 256, 256, 3)
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+import pytest
+
+
+@pytest.mark.xfail(
+    reason="reflect-pad on an H-sharded array is unsupported by sharding "
+    "propagation; spatial sharding goes through the shard_map halo-exchange "
+    "path (infer/spatial.py) instead",
+    strict=False,
+)
+def test_spatially_sharded_inference_matches_local():
+    """H-sharded forward via plain GSPMD propagation (known-unsupported)."""
+    plan = make_mesh_plan(spatial=4)
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+
+    fwd = jax.jit(lambda p, v: TransformerNet.apply(p, v, train=False))
+    want = np.asarray(fwd(params, x))
+
+    params_r = jax.device_put(params, plan.replicated)
+    x_s = jax.device_put(x, plan.batch_sharding)
+    got = np.asarray(fwd(params_r, x_s))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

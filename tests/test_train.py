@@ -1,0 +1,171 @@
+"""Training layer tests: schedules vs torch, step mechanics, NaN guard,
+loss decrease on synthetic data, checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from fast_neural_style_transfer_tpu.core.dtypes import Precision
+from fast_neural_style_transfer_tpu.losses import LossTaps, style_targets_from_features
+from fast_neural_style_transfer_tpu.models import TransformerNet, VGG19Features
+from fast_neural_style_transfer_tpu.train import (
+    LossWeightSchedule,
+    TrainState,
+    cosine_lr_schedule,
+    create_train_state,
+    make_train_step,
+)
+from fast_neural_style_transfer_tpu.train.checkpoint import (
+    CheckpointManager,
+    load_params_npz,
+    save_params_npz,
+)
+from fast_neural_style_transfer_tpu.train.state import make_optimizer
+from fast_neural_style_transfer_tpu.train.step import loss_fn
+
+
+def test_cosine_lr_matches_torch_scheduler():
+    """Our closed form == torch CosineAnnealingLR stepped per iteration
+    (reference train.py:141-145,206)."""
+    base_lr, total, eta_min = 1e-3, 200, 1e-7
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base_lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=total, eta_min=eta_min)
+    ours = cosine_lr_schedule(base_lr, total, eta_min)
+    for step in range(total + 1):
+        want = opt.param_groups[0]["lr"]
+        got = float(ours(jnp.asarray(step)))
+        # f32 cos vs torch's f64 recursion: tiny absolute slack near eta_min
+        assert got == pytest.approx(want, rel=1e-4, abs=1e-9), f"step {step}"
+        opt.step()
+        sched.step()
+
+
+def test_loss_weight_schedule_halving_doubling():
+    ws = LossWeightSchedule(content=1000.0, style=1.0, tv=10.0, decay_every=10_000)
+    for step, k in [(0, 0), (9_999, 0), (10_000, 1), (25_000, 2), (30_000, 3)]:
+        c, s, t = ws(jnp.asarray(step))
+        assert float(c) == pytest.approx(1000.0 * 0.5**k)
+        assert float(s) == pytest.approx(1.0 * 2.0**k)
+        assert float(t) == 10.0
+    c0, s0, _ = LossWeightSchedule(decay_every=0)(jnp.asarray(50_000))
+    assert float(c0) == 1000.0 and float(s0) == 1.0
+
+
+def _tiny_setup(total_steps=50, batch=2, hw=32):
+    key = jax.random.PRNGKey(0)
+    taps = LossTaps(content_tap="relu4_2")
+    vgg = VGG19Features.init(key)
+    style = jax.random.normal(jax.random.PRNGKey(7), (1, hw, hw, 3))
+    grams = tuple(
+        style_targets_from_features(
+            VGG19Features.apply(vgg, style, taps.style_taps)
+        )
+    )
+    opt = make_optimizer(1e-3, total_steps)
+    state = create_train_state(TransformerNet.init(key), opt)
+    step = make_train_step(opt, taps=taps, weight_schedule=LossWeightSchedule(),
+                           lr=1e-3, total_steps=total_steps, donate=False)
+    batch_x = jax.random.normal(jax.random.PRNGKey(3), (batch, hw, hw, 3))
+    return state, vgg, batch_x, grams, step, taps
+
+
+def test_train_step_runs_and_loss_decreases():
+    state, vgg, batch, grams, step, _ = _tiny_setup()
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(30):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, vgg, batch, grams, k)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert int(state.step) == 30
+    assert np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_train_step_nan_guard_keeps_params():
+    state, vgg, batch, grams, step, _ = _tiny_setup()
+    bad = batch.at[0, 0, 0, 0].set(jnp.nan)
+    new_state, metrics = step(state, vgg, bad, grams, jax.random.PRNGKey(1))
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    # params unchanged, step still advances
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        new_state.params,
+        state.params,
+    )
+    assert int(new_state.step) == int(state.step) + 1
+
+
+def test_optimizer_matches_torch_adam_recipe():
+    """One update on identical tiny params/grads == torch Adam(weight_decay)
+    after clip_grad_norm_ (reference train.py:135-139,203-206)."""
+    w0 = np.asarray([[1.0, -2.0], [0.5, 3.0]], np.float32)
+    g0 = np.asarray([[10.0, -20.0], [5.0, 30.0]], np.float32)  # norm > 1 -> clipped
+
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt_t = torch.optim.Adam([p], lr=1e-3, betas=(0.9, 0.999), eps=1e-8,
+                             weight_decay=1e-5)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt_t, T_max=100, eta_min=1e-7)
+    for _ in range(3):
+        p.grad = torch.from_numpy(g0.copy())
+        torch.nn.utils.clip_grad_norm_([p], 1.0)
+        opt_t.step()
+        sched.step()
+
+    opt_j = make_optimizer(1e-3, 100)
+    params = {"w": jnp.asarray(w0)}
+    ostate = opt_j.init(params)
+    step_fn = jax.jit(lambda prm, st: opt_j.update({"w": jnp.asarray(g0)}, st, prm))
+    for _ in range(3):
+        updates, ostate = step_fn(params, ostate)
+        params = jax.tree.map(lambda a, u: a + u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), p.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_loss_fn_grads_flow_only_to_stylizer():
+    state, vgg, batch, grams, _, taps = _tiny_setup()
+    weights = LossWeightSchedule()(jnp.asarray(0))
+    grads = jax.grad(
+        lambda p: loss_fn(p, vgg, batch, grams, weights, None,
+                          taps=taps, precision=Precision.f32())[0]
+    )(state.params)
+    norms = [float(jnp.linalg.norm(g)) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(norms)) and sum(norms) > 0
+
+
+def test_params_npz_roundtrip(tmp_path):
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "params.npz")
+    save_params_npz(params, path)
+    loaded = load_params_npz(TransformerNet.init(jax.random.PRNGKey(1)), path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        loaded,
+    )
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    opt = make_optimizer(1e-3, 100)
+    state = create_train_state(TransformerNet.init(jax.random.PRNGKey(0)), opt, step=7)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, state)
+    mgr.wait()
+    assert mgr.latest_step() == 7
+    template = create_train_state(TransformerNet.init(jax.random.PRNGKey(9)), opt)
+    restored = mgr.restore(template)
+    assert int(restored.step) == 7
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params,
+        restored.params,
+    )
+    mgr.close()
