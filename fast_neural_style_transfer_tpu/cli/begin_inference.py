@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"),
                    help="Optional resize; default keeps the native resolution")
     p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"])
+    p.add_argument("--spatial", type=int, default=1,
+                   help="Shard image height over N chips (halo-exchange "
+                        "forward; for very large images)")
     return p
 
 
@@ -32,14 +35,28 @@ def main(argv=None) -> None:
     from fast_neural_style_transfer_tpu.infer import stylize_image_file
 
     os.makedirs(args.output_dir, exist_ok=True)
-    out = stylize_image_file(
-        args.model_path,
-        args.content_image,
-        os.path.join(args.output_dir, args.output_name),
-        size=tuple(args.size) if args.size else None,
-        precision=args.precision,
-    )
-    print(f"saved {out}")
+    out_path = os.path.join(args.output_dir, args.output_name)
+    if args.spatial > 1:
+        import numpy as np
+
+        from fast_neural_style_transfer_tpu.infer import Stylizer, stylize_spatial
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+        from fast_neural_style_transfer_tpu.utils import load_image, save_image
+
+        plan = make_mesh_plan(spatial=args.spatial)
+        stylizer = Stylizer.from_checkpoint(args.model_path, precision=args.precision)
+        x = load_image(args.content_image, tuple(args.size) if args.size else None)
+        out = stylize_spatial(stylizer.params, x, plan)
+        save_image(np.asarray(out), out_path)
+    else:
+        out_path = stylize_image_file(
+            args.model_path,
+            args.content_image,
+            out_path,
+            size=tuple(args.size) if args.size else None,
+            precision=args.precision,
+        )
+    print(f"saved {out_path}")
 
 
 if __name__ == "__main__":

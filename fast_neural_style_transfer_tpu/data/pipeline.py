@@ -74,8 +74,11 @@ class InputPipeline:
     def _make_batch(self, pool: ThreadPoolExecutor, batch_idx: np.ndarray) -> np.ndarray:
         imgs = list(pool.map(self.dataset.__getitem__, self._local_slice(batch_idx)))
         u8 = np.stack(imgs)  # (b, h, w, 3) uint8
-        x = u8.astype(np.float32) / 255.0
-        return (x - IMAGENET_MEAN) / IMAGENET_STD
+        # fused /255 + ImageNet normalize: native C++ kernel when the
+        # toolchain is present, NumPy otherwise (same numbers either way)
+        from fast_neural_style_transfer_tpu import native
+
+        return native.normalize_batch(u8, n_threads=min(self.num_workers, 8))
 
     def host_batches(self, num_epochs: Optional[int] = None) -> Iterator[np.ndarray]:
         """Local (per-process) normalized float32 NHWC batches, epoch-shuffled."""

@@ -1,0 +1,75 @@
+"""Hugging Face Hub packaging/upload (parity with /root/reference/hf_uploading.py).
+
+The reference's helper re-saves a training checkpoint's ``model_state_dict``
+as ``pytorch_model.pth`` then crashes on a nonexistent ``torch.rename``
+(hf_uploading.py:17 — SURVEY.md defect ledger). This rebuild:
+
+- ``package_for_hub``: writes ``pytorch_model.pth`` (reference-compatible
+  state_dict layout via export/torch_convert.py), our native ``params.npz``,
+  the ONNX graph, and a minimal model card — a complete, working repo dir;
+- ``upload_to_hub``: pushes it with huggingface_hub when a token is
+  available (gated: this environment has no egress).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+from fast_neural_style_transfer_tpu.export.onnx_export import export_onnx
+from fast_neural_style_transfer_tpu.export.torch_convert import to_torch_state_dict
+
+_CARD = """---
+library_name: fast_neural_style_transfer_tpu
+tags: [style-transfer, jax, tpu]
+---
+
+# Fast Neural Style Transfer (TPU-trained)
+
+Johnson et al. 2016 feed-forward stylizer with instance normalization,
+trained with the TPU-native fast_neural_style_transfer_tpu framework.
+
+Files:
+- `pytorch_model.pth` — PyTorch state_dict (reference `StyleTransferNet` layout)
+- `params.npz` — native JAX parameter pytree
+- `model.onnx` — opset-11 ONNX graph (`input_image` -> `output_image`)
+"""
+
+
+def package_for_hub(params: Any, out_dir: str, *, metadata: Optional[dict] = None) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    # 1. reference-compatible torch weights
+    try:
+        import torch
+
+        sd = {
+            k: torch.from_numpy(v.copy())
+            for k, v in to_torch_state_dict(params).items()
+        }
+        torch.save(sd, os.path.join(out_dir, "pytorch_model.pth"))
+    except ImportError:
+        pass  # torch-free host: npz + onnx still written
+    # 2. native params
+    from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    save_params_npz(params, os.path.join(out_dir, "params.npz"))
+    # 3. ONNX
+    export_onnx(params, os.path.join(out_dir, "model.onnx"))
+    # 4. card + metadata
+    with open(os.path.join(out_dir, "README.md"), "w") as fh:
+        fh.write(_CARD)
+    if metadata:
+        with open(os.path.join(out_dir, "config.json"), "w") as fh:
+            json.dump(metadata, fh, indent=2)
+    return out_dir
+
+
+def upload_to_hub(local_dir: str, repo_id: str, *, token: Optional[str] = None) -> str:
+    """Push a packaged dir to the Hub. Requires network + token."""
+    from huggingface_hub import HfApi
+
+    api = HfApi(token=token)
+    api.create_repo(repo_id, exist_ok=True)
+    api.upload_folder(folder_path=local_dir, repo_id=repo_id)
+    return f"https://huggingface.co/{repo_id}"

@@ -1,3 +1,12 @@
 from fast_neural_style_transfer_tpu.infer.stylize import Stylizer, stylize_image_file
+from fast_neural_style_transfer_tpu.infer.spatial import (
+    make_spatial_forward,
+    stylize_spatial,
+)
 
-__all__ = ["Stylizer", "stylize_image_file"]
+__all__ = [
+    "Stylizer",
+    "stylize_image_file",
+    "make_spatial_forward",
+    "stylize_spatial",
+]

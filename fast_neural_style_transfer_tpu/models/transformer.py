@@ -105,8 +105,13 @@ class TransformerNet:
         train: bool = False,
         rng: Optional[jax.Array] = None,
         precision: Precision = Precision.f32(),
+        norm_method: str = "auto",
     ) -> jnp.ndarray:
-        """NHWC forward. H and W must be multiples of 4 for exact round-trip."""
+        """NHWC forward. H and W must be multiples of 4 for exact round-trip.
+
+        ``norm_method`` selects the instance-norm lowering ("auto" uses the
+        fused Pallas IN+ReLU kernel on TPU when the slab fits VMEM).
+        """
         in_dtype = x.dtype
         x = x.astype(precision.compute_dtype)
 
@@ -120,33 +125,32 @@ class TransformerNet:
                                  output_padding=1, accum_dtype=precision.accum_dtype)
             return h.astype(precision.compute_dtype)
 
+        def inorm(h, p, *, relu):
+            return instance_norm(h, p["gamma"], p["beta"], relu=relu,
+                                 method=norm_method)
+
         # encoder
-        h = jax.nn.relu(instance_norm(cin(params["conv1"], x, stride=2),
-                                      params["norm1"]["gamma"], params["norm1"]["beta"]))
-        h = jax.nn.relu(instance_norm(cin(params["conv2"], h, stride=2),
-                                      params["norm2"]["gamma"], params["norm2"]["beta"]))
+        h = inorm(cin(params["conv1"], x, stride=2), params["norm1"], relu=True)
+        h = inorm(cin(params["conv2"], h, stride=2), params["norm2"], relu=True)
 
         # residual body
         use_dropout = train and rng is not None
         if use_dropout:
             drop_keys = jax.random.split(rng, NUM_RES_BLOCKS)
         for i, rb in enumerate(params["res_blocks"]):
-            y = jax.nn.relu(instance_norm(cin(rb["conv1"], h),
-                                          rb["in1"]["gamma"], rb["in1"]["beta"]))
+            y = inorm(cin(rb["conv1"], h), rb["in1"], relu=True)
             if use_dropout:
                 # Dropout2d: drop whole channels per sample (torch nn.Dropout2d(0.1))
                 keep = jax.random.bernoulli(
                     drop_keys[i], 1.0 - DROPOUT_RATE, (y.shape[0], 1, 1, y.shape[3])
                 )
                 y = jnp.where(keep, y / (1.0 - DROPOUT_RATE), 0.0).astype(y.dtype)
-            y = instance_norm(cin(rb["conv2"], y), rb["in2"]["gamma"], rb["in2"]["beta"])
+            y = inorm(cin(rb["conv2"], y), rb["in2"], relu=False)
             h = h + y
 
         # decoder
-        h = jax.nn.relu(instance_norm(ctr(params["up1"], h),
-                                      params["norm3"]["gamma"], params["norm3"]["beta"]))
-        h = jax.nn.relu(instance_norm(ctr(params["up2"], h),
-                                      params["norm4"]["gamma"], params["norm4"]["beta"]))
+        h = inorm(ctr(params["up1"], h), params["norm3"], relu=True)
+        h = inorm(ctr(params["up2"], h), params["norm4"], relu=True)
         out = cin(params["final_conv"], h)
         return out.astype(in_dtype)
 

@@ -1,27 +1,30 @@
-"""Instance normalization (NHWC) with affine parameters.
+"""Instance normalization (NHWC) with affine parameters, optional fused ReLU.
 
 Matches PyTorch ``nn.InstanceNorm2d(C, affine=True)`` (reference
 /root/reference/models/model.py:29-44,80-83): per-(sample, channel) mean and
 *biased* variance over the spatial dims, eps=1e-5, then learned scale/shift.
+Statistics are always computed in float32 regardless of activation dtype.
 
-Statistics are always computed in float32 regardless of the activation dtype —
-IN is a full-spatial reduction and bf16 accumulation visibly degrades
-stylization quality.
+Two lowerings behind one API:
+- ``method="xla"``: jnp reductions — XLA fuses the reduce + normalize + ReLU
+  INTO the producing conv's epilogue, and handles any activation size;
+- ``method="pallas"``: the VMEM-resident kernel in ``pallas_norm.py``.
+
+Measured on a v5e chip (bf16 stylizer forward, 256x256): XLA 1.65 ms vs
+Pallas 2.99 ms — the custom kernel *breaks* XLA's conv-epilogue fusion and
+pays extra HBM round trips at the pallas_call boundary, so ``"auto"``
+resolves to XLA. The kernel stays available as an explicit opt-in (and as
+the template for ops XLA can't fuse).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-def instance_norm(
-    x: jnp.ndarray,
-    gamma: jnp.ndarray,
-    beta: jnp.ndarray,
-    *,
-    eps: float = 1e-5,
-) -> jnp.ndarray:
+def _xla_instance_norm(x, gamma, beta, *, eps: float, relu: bool):
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
@@ -30,4 +33,31 @@ def instance_norm(
     inv = lax.rsqrt(var + eps)
     out = (xf - mean) * inv
     out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if relu:
+        out = jnp.maximum(out, 0.0)
     return out.astype(orig_dtype)
+
+
+def instance_norm(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    relu: bool = False,
+    method: str = "auto",
+) -> jnp.ndarray:
+    if method not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown instance_norm method {method!r}")
+    if method == "pallas":
+        from fast_neural_style_transfer_tpu.ops.pallas_norm import (
+            fits_vmem,
+            fused_instance_norm,
+        )
+
+        n, h, w, c = x.shape
+        if fits_vmem(h, w, c, x.dtype.itemsize):
+            # interpret mode lets the Pallas path run (and be tested) on CPU
+            on_tpu = jax.default_backend() == "tpu"
+            return fused_instance_norm(x, gamma, beta, eps, relu, not on_tpu)
+    return _xla_instance_norm(x, gamma, beta, eps=eps, relu=relu)

@@ -70,6 +70,11 @@ class TrainConfig:
     resume: bool = True
     max_checkpoints: int = 3
 
+    # profiling (SURVEY.md §5.1): trace steps [start, stop) into
+    # <output_dir>/profile for TensorBoard/xprof
+    profile_start: int = 0
+    profile_stop: int = 0
+
 
 def train_style_transfer(cfg: TrainConfig) -> str:
     """Run training; returns the path of the final params artifact."""
@@ -151,13 +156,22 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     start_step = int(state.step)
     t_start = time.perf_counter()
 
+    profiling = False
     batches = pipeline.device_batches()
     step = start_step
     for batch in batches:
         if step >= cfg.total_steps:
             break
+        if cfg.profile_stop > cfg.profile_start:
+            if step == cfg.profile_start and not profiling:
+                jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
+                profiling = True
+            elif step == cfg.profile_stop and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
         rng, step_rng = jax.random.split(rng)
-        state, metrics = train_step(state, vgg_params, batch, style_grams, step_rng)
+        with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
+            state, metrics = train_step(state, vgg_params, batch, style_grams, step_rng)
         step += 1
         logger.update({k: v for k, v in metrics.items()})
 
@@ -172,6 +186,8 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             ckpt.save(step, state)
             print(f"checkpoint saved at step {step}", flush=True)
 
+    if profiling:
+        jax.profiler.stop_trace()
     if logger._count:  # flush any sub-cadence remainder so short runs log too
         logger.flush(step)
     wall = time.perf_counter() - t_start
@@ -186,4 +202,10 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     print(f"final params saved to {final_path}", flush=True)
     logger.close()
     ckpt.close()
+    try:  # loss-curve PNGs (the assets the reference committed by hand)
+        from fast_neural_style_transfer_tpu.utils.visualization import plot_loss_curves
+
+        plot_loss_curves(os.path.join(cfg.output_dir, "metrics.jsonl"), cfg.output_dir)
+    except Exception as e:  # plotting must never fail a training run
+        print(f"loss-curve plotting skipped: {e}", flush=True)
     return final_path

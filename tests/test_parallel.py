@@ -96,25 +96,29 @@ def test_graft_entry_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
-import pytest
-
-
-@pytest.mark.xfail(
-    reason="reflect-pad on an H-sharded array is unsupported by sharding "
-    "propagation; spatial sharding goes through the shard_map halo-exchange "
-    "path (infer/spatial.py) instead",
-    strict=False,
-)
 def test_spatially_sharded_inference_matches_local():
-    """H-sharded forward via plain GSPMD propagation (known-unsupported)."""
+    """The shard_map halo-exchange forward (infer/spatial.py) must be
+    numerically identical to the unsharded forward: per-layer halos make the
+    convs exact and psum'd IN stats are truly global."""
+    from fast_neural_style_transfer_tpu.infer.spatial import stylize_spatial
+
     plan = make_mesh_plan(spatial=4)
     params = TransformerNet.init(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
 
-    fwd = jax.jit(lambda p, v: TransformerNet.apply(p, v, train=False))
-    want = np.asarray(fwd(params, x))
+    want = np.asarray(jax.jit(
+        lambda p, v: TransformerNet.apply(p, v, train=False)
+    )(params, x))
+    got = np.asarray(stylize_spatial(params, x, plan))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
-    params_r = jax.device_put(params, plan.replicated)
-    x_s = jax.device_put(x, plan.batch_sharding)
-    got = np.asarray(fwd(params_r, x_s))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+def test_spatially_sharded_inference_unaligned_height():
+    """H not divisible by 4*n_shards goes through pad+crop."""
+    from fast_neural_style_transfer_tpu.infer.spatial import stylize_spatial
+
+    plan = make_mesh_plan(spatial=4)
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 52, 40, 3))
+    out = stylize_spatial(params, x, plan)
+    assert out.shape == (1, 52, 40, 3)

@@ -1,0 +1,60 @@
+"""Utils tests: metric logger, visualization, HF packaging."""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from fast_neural_style_transfer_tpu.export.hf import package_for_hub
+from fast_neural_style_transfer_tpu.models import TransformerNet
+from fast_neural_style_transfer_tpu.utils import MetricLogger
+from fast_neural_style_transfer_tpu.utils.visualization import (
+    plot_loss_curves,
+    read_metrics,
+)
+
+
+def test_metric_logger_running_means_and_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    logger = MetricLogger(path, print_every=2)
+    logger.update({"loss": 2.0, "content_loss": 1.0})
+    assert not logger.should_log(1)
+    logger.update({"loss": 4.0, "content_loss": 3.0})
+    assert logger.should_log(2)
+    rec = logger.flush(2)
+    assert rec["loss"] == 3.0 and rec["content_loss"] == 2.0
+    logger.close()
+    records = [json.loads(l) for l in open(path)]
+    assert records[0]["step"] == 2 and records[0]["loss"] == 3.0
+
+
+def test_plot_loss_curves(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    with open(path, "w") as fh:
+        for step in range(100, 600, 100):
+            fh.write(json.dumps({
+                "step": step, "loss": 1000.0 / step, "content_loss": 5.0,
+                "style_loss": 3.0, "tv_loss": 0.1,
+            }) + "\n")
+    written = plot_loss_curves(path, str(tmp_path))
+    names = {os.path.basename(p) for p in written}
+    assert names == {"loss.png", "content_loss.png", "style_loss.png", "tv_loss.png"}
+    for p in written:
+        assert os.path.getsize(p) > 1000
+    assert len(read_metrics(path)) == 5
+
+
+def test_package_for_hub(tmp_path):
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    out = package_for_hub(params, str(tmp_path / "hub"), metadata={"steps": 10})
+    files = set(os.listdir(out))
+    assert {"pytorch_model.pth", "params.npz", "model.onnx", "README.md",
+            "config.json"} <= files
+    # pytorch_model.pth must be a loadable bare state_dict (what the
+    # reference's helper intended to produce)
+    import torch
+
+    sd = torch.load(os.path.join(out, "pytorch_model.pth"), weights_only=True)
+    assert "conv1.conv.weight" in sd
