@@ -58,7 +58,12 @@ class Stylizer:
             from fast_neural_style_transfer_tpu.train.checkpoint import load_params_npz
 
             params = load_params_npz(template, path)
-        elif path.endswith((".pth", ".pt", ".bin")):
+        elif path.endswith(".pt"):
+            raise ValueError(
+                "TorchScript .pt archives bake weights into the traced graph "
+                "and cannot be imported; load the matching .pth/.npz instead"
+            )
+        elif path.endswith((".pth", ".bin")):
             from fast_neural_style_transfer_tpu.export.torch_convert import (
                 load_torch_checkpoint,
             )
