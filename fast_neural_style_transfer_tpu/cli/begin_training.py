@@ -84,7 +84,7 @@ def main(argv=None) -> None:
         precision=args.precision,
         seed=args.seed,
         num_workers=args.num_workers,
-        resume=args.checkpoint_path is not None,
+        init_checkpoint=args.checkpoint_path,
     )
     train_style_transfer(cfg)
 

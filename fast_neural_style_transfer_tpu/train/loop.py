@@ -69,6 +69,9 @@ class TrainConfig:
     checkpoint_every: int = 5000
     resume: bool = True
     max_checkpoints: int = 3
+    # warm-start stylizer params from a file (.npz or reference .pth) — the
+    # reference CLI's --checkpoint_path (begin_training.py:25)
+    init_checkpoint: Optional[str] = None
 
     # profiling (SURVEY.md §5.1): trace steps [start, stop) into
     # <output_dir>/profile for TensorBoard/xprof
@@ -110,6 +113,11 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     # stylizer + optimizer state, replicated over the mesh
     optimizer = make_optimizer(cfg.lr, cfg.total_steps)
     params = TransformerNet.init(jax.random.PRNGKey(cfg.seed))
+    if cfg.init_checkpoint:
+        from fast_neural_style_transfer_tpu.infer.stylize import Stylizer
+
+        params = Stylizer.from_checkpoint(cfg.init_checkpoint).params
+        print(f"warm-started params from {cfg.init_checkpoint}", flush=True)
     state = create_train_state(params, optimizer)
     state = replicate_state(state, plan.replicated)
 
@@ -147,7 +155,14 @@ def train_style_transfer(cfg: TrainConfig) -> str:
 
     monitor_img = None
     if cfg.monitor_image:
-        monitor_img = jnp.asarray(load_image(cfg.monitor_image, cfg.image_size))
+        if os.path.exists(cfg.monitor_image):
+            monitor_img = jnp.asarray(load_image(cfg.monitor_image, cfg.image_size))
+        else:
+            print(
+                f"monitor image {cfg.monitor_image} not found; "
+                "skipping monitor sampling",
+                flush=True,
+            )
 
     logger = MetricLogger(
         os.path.join(cfg.output_dir, "metrics.jsonl"), print_every=cfg.log_every

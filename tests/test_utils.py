@@ -1,6 +1,7 @@
 """Utils tests: metric logger, visualization, HF packaging."""
 
 import json
+import pytest
 import os
 
 import numpy as np
@@ -58,3 +59,33 @@ def test_package_for_hub(tmp_path):
 
     sd = torch.load(os.path.join(out, "pytorch_model.pth"), weights_only=True)
     assert "conv1.conv.weight" in sd
+
+
+def test_ssim_identical_and_noisy(rng):
+    from fast_neural_style_transfer_tpu.utils.ssim import ssim
+
+    img = rng.random((64, 64, 3))
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-9)
+    noisy = np.clip(img + rng.normal(0, 0.15, img.shape), 0, 1)
+    val = ssim(img, noisy)
+    assert 0.05 < val < 0.95  # heavy noise must be penalized
+    assert ssim(img, noisy) > ssim(img, np.clip(img + rng.normal(0, 0.4, img.shape), 0, 1))
+
+
+def test_ssim_matches_torch_reference(rng):
+    """Cross-check against an independent implementation when available."""
+    pytest.importorskip("torchmetrics")
+    import torch
+    from torchmetrics.functional import structural_similarity_index_measure as tm_ssim
+
+    from fast_neural_style_transfer_tpu.utils.ssim import ssim
+
+    a = rng.random((1, 48, 48, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1).astype(np.float32)
+    got = ssim(a, b)
+    want = float(tm_ssim(
+        torch.from_numpy(a.transpose(0, 3, 1, 2)),
+        torch.from_numpy(b.transpose(0, 3, 1, 2)),
+        data_range=1.0,
+    ))
+    assert got == pytest.approx(want, abs=2e-3)
