@@ -62,10 +62,17 @@ class InputPipeline:
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed + epoch)
         idx = rng.permutation(len(self.dataset))
-        n_batches = len(idx) // self.global_batch_size if self.drop_last else -(
-            -len(idx) // self.global_batch_size
-        )
-        return idx[: n_batches * self.global_batch_size].reshape(-1, self.global_batch_size)
+        gbs = self.global_batch_size
+        if self.drop_last:
+            n_batches = len(idx) // gbs
+            idx = idx[: n_batches * gbs]
+        else:
+            # static shapes under jit forbid a short final batch; wrap around
+            # to fill it (standard TPU practice, no recompile)
+            pad = -len(idx) % gbs
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
+        return idx.reshape(-1, gbs)
 
     def _local_slice(self, batch_idx: np.ndarray) -> np.ndarray:
         p = jax.process_index()

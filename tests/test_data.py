@@ -85,3 +85,11 @@ def test_device_batches_sharded_over_mesh(image_dir):
     # each device holds exactly one image of the batch
     assert len(batch.addressable_shards) == 8
     assert batch.addressable_shards[0].data.shape == (1, 16, 16, 3)
+
+
+def test_drop_last_false_wraps_final_batch(image_dir):
+    ds = ImageFolderDataset(image_dir, (16, 16))  # 10 images
+    pipe = InputPipeline(ds, global_batch_size=4, num_workers=2, drop_last=False)
+    batches = list(pipe.host_batches(num_epochs=1))
+    assert len(batches) == 3  # ceil(10/4), final batch wrap-filled
+    assert all(b.shape == (4, 16, 16, 3) for b in batches)
