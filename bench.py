@@ -114,13 +114,15 @@ def bench_train_steps_per_sec(iters: int = 20, batch: int = 4) -> float:
 
 def main() -> None:
     p50, rtt = bench_inference()
-    sps = bench_train_steps_per_sec()
+    sps4 = bench_train_steps_per_sec(batch=4)
+    sps20 = bench_train_steps_per_sec(iters=10, batch=20)
     print(json.dumps({
         "metric": "stylize_256_p50_latency",
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / max(p50, 1e-6), 1),
-        "train_steps_per_sec_b4": round(sps, 2),
+        "train_steps_per_sec_b4": round(sps4, 2),
+        "train_images_per_sec_b20": round(sps20 * 20, 1),
         "tunnel_rtt_ms": round(rtt, 1),
         "device": jax.devices()[0].platform,
     }))

@@ -172,51 +172,57 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     t_start = time.perf_counter()
 
     profiling = False
-    batches = pipeline.device_batches()
     step = start_step
-    for batch in batches:
-        if step >= cfg.total_steps:
-            break
-        if cfg.profile_stop > cfg.profile_start:
-            if step == cfg.profile_start and not profiling:
-                jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
-                profiling = True
-            elif step == cfg.profile_stop and profiling:
-                jax.profiler.stop_trace()
-                profiling = False
-        rng, step_rng = jax.random.split(rng)
-        with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
-            state, metrics = train_step(state, vgg_params, batch, style_grams, step_rng)
-        step += 1
-        logger.update({k: v for k, v in metrics.items()})
+    try:
+        for batch in pipeline.device_batches():
+            if step >= cfg.total_steps:
+                break
+            if cfg.profile_stop > cfg.profile_start:
+                if step == cfg.profile_start and not profiling:
+                    jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
+                    profiling = True
+                elif step == cfg.profile_stop and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+            rng, step_rng = jax.random.split(rng)
+            with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
+                state, metrics = train_step(
+                    state, vgg_params, batch, style_grams, step_rng
+                )
+            step += 1
+            logger.update({k: v for k, v in metrics.items()})
 
-        if logger.should_log(step):
+            if logger.should_log(step):
+                logger.flush(step)
+            if monitor_img is not None and step % cfg.monitor_every == 0:
+                out = eval_forward(state.params, monitor_img)
+                path = os.path.join(cfg.output_dir, f"sample_step_{step}.jpg")
+                save_image(np.asarray(out), path)
+                print(f"saved monitor sample {path}", flush=True)
+            if step % cfg.checkpoint_every == 0:
+                ckpt.save(step, state)
+                print(f"checkpoint saved at step {step}", flush=True)
+    finally:
+        # preemption/exception safety: always stop tracing, flush metrics,
+        # and leave a restorable checkpoint behind
+        if profiling:
+            jax.profiler.stop_trace()
+        if logger._count:
             logger.flush(step)
-        if monitor_img is not None and step % cfg.monitor_every == 0:
-            out = eval_forward(state.params, monitor_img)
-            path = os.path.join(cfg.output_dir, f"sample_step_{step}.jpg")
-            save_image(np.asarray(out), path)
-            print(f"saved monitor sample {path}", flush=True)
-        if step % cfg.checkpoint_every == 0:
+        if step > start_step and ckpt.latest_step() != step:
             ckpt.save(step, state)
-            print(f"checkpoint saved at step {step}", flush=True)
+        ckpt.wait()
+        logger.close()
+        ckpt.close()
 
-    if profiling:
-        jax.profiler.stop_trace()
-    if logger._count:  # flush any sub-cadence remainder so short runs log too
-        logger.flush(step)
     wall = time.perf_counter() - t_start
     done = step - start_step
     if done:
         print(f"trained {done} steps in {wall:.1f}s ({done / wall:.2f} steps/s)", flush=True)
 
-    ckpt.save(step, state)
-    ckpt.wait()
     final_path = os.path.join(cfg.output_dir, "style_transfer_final.npz")
     save_params_npz(jax.device_get(state.params), final_path)
     print(f"final params saved to {final_path}", flush=True)
-    logger.close()
-    ckpt.close()
     try:  # loss-curve PNGs (the assets the reference committed by hand)
         from fast_neural_style_transfer_tpu.utils.visualization import plot_loss_curves
 
