@@ -13,6 +13,7 @@ import pytest
 import torch
 import torch.nn as nn
 
+import jax
 import jax.numpy as jnp
 
 from fast_neural_style_transfer_tpu.ops import (
@@ -122,3 +123,58 @@ def test_gram_matches_torch_bmm(rng):
     want = torch.bmm(feats, feats.transpose(1, 2)).numpy()
     got = np.asarray(gram_matrix(to_nhwc(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cin,cout,stride,hw", [
+    (32, 3, 1, 32), (3, 64, 2, 32), (32, 3, 1, 20), (8, 16, 2, 64),
+])
+def test_reflect_conv2d_s2d_lowering_matches_direct(rng, cin, cout, stride, hw):
+    """The space-to-depth 9x9 lowering (MXU-shaped) is bit-equivalent to the
+    direct conv up to float reassociation."""
+    from fast_neural_style_transfer_tpu.ops.conv import reflect_conv2d
+
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((9, 9, cin, cout), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+    direct = reflect_conv2d(x, w, b, stride=stride, lowering="direct")
+    s2d = reflect_conv2d(x, w, b, stride=stride, lowering="s2d")
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct), rtol=1e-4, atol=1e-4)
+
+
+def test_reflect_conv2d_s2d_gradients_match_direct(rng):
+    from fast_neural_style_transfer_tpu.ops.conv import reflect_conv2d
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((9, 9, 8, 4), dtype=np.float32) * 0.1)
+
+    def loss(lowering):
+        return lambda w_, x_: jnp.sum(
+            jnp.sin(reflect_conv2d(x_, w_, None, stride=1, lowering=lowering))
+        )
+
+    gd = jax.grad(loss("direct"), argnums=(0, 1))(w, x)
+    gs = jax.grad(loss("s2d"), argnums=(0, 1))(w, x)
+    for a, b_ in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_reflect_conv2d_bad_lowering_raises(rng):
+    from fast_neural_style_transfer_tpu.ops.conv import reflect_conv2d
+
+    x = jnp.zeros((1, 8, 8, 3))
+    w = jnp.zeros((3, 3, 3, 4))
+    with pytest.raises(ValueError):
+        reflect_conv2d(x, w, None, lowering="bogus")
+
+
+@pytest.mark.parametrize("cin,cout,hw", [(256, 64, 16), (64, 32, 32), (8, 8, 7)])
+def test_conv_transpose_subpixel_lowering_matches_direct(rng, cin, cout, hw):
+    from fast_neural_style_transfer_tpu.ops.conv import conv_transpose2d
+
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+    kw = dict(stride=2, padding=1, output_padding=1)
+    d = conv_transpose2d(x, w, b, **kw, lowering="direct")
+    s = conv_transpose2d(x, w, b, **kw, lowering="subpixel")
+    np.testing.assert_allclose(np.asarray(s), np.asarray(d), rtol=1e-4, atol=1e-4)
