@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay_every", type=int, default=10_000,
                    help="Halve content / double style weight every N steps (0=off)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile_start", type=int, default=0,
+                   help="Start a jax.profiler trace at this step")
+    p.add_argument("--profile_stop", type=int, default=0,
+                   help="Stop the trace at this step (writes <output_dir>/profile)")
     return p
 
 
@@ -85,6 +89,8 @@ def main(argv=None) -> None:
         seed=args.seed,
         num_workers=args.num_workers,
         init_checkpoint=args.checkpoint_path,
+        profile_start=args.profile_start,
+        profile_stop=args.profile_stop,
     )
     train_style_transfer(cfg)
 

@@ -46,12 +46,17 @@ def test_tiny_training_run_end_to_end(workspace):
         checkpoint_every=2,
         num_workers=2,
         resume=False,
+        profile_start=1,
+        profile_stop=2,
     )
     with pytest.warns(UserWarning, match="VGG19"):  # random-VGG fallback warning
         final = train_style_transfer(cfg)
 
     assert os.path.exists(final)
     assert glob.glob(os.path.join(out_dir, "sample_step_*.jpg"))
+    # profiler trace was started/stopped around steps [1, 2)
+    assert glob.glob(os.path.join(out_dir, "profile", "**", "*.pb"), recursive=True) or \
+        glob.glob(os.path.join(out_dir, "profile", "**", "*.json*"), recursive=True)
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     records = [json.loads(l) for l in open(metrics_path)]
     assert records and all(np.isfinite(r["loss"]) for r in records)
