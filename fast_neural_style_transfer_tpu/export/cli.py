@@ -24,6 +24,9 @@ def main(argv=None) -> None:
     p.add_argument("--model", required=True,
                    help="params: .npz, Orbax checkpoint dir, or reference .pth")
     p.add_argument("--onnx", help="write ONNX graph (opset 11) here")
+    p.add_argument("--onnx-dynamic", action="store_true",
+                   help="export with symbolic batch/height/width dims instead "
+                        "of the reference's static 1x3x256x256")
     p.add_argument("--torchscript", help="write traced TorchScript .pt here")
     p.add_argument("--pth", help="write reference-layout torch checkpoint here")
     p.add_argument("--hub-dir", help="package a Hugging Face repo dir here")
@@ -36,7 +39,9 @@ def main(argv=None) -> None:
     if args.onnx:
         from fast_neural_style_transfer_tpu.export.onnx_export import export_onnx
 
-        wrote.append(export_onnx(params, args.onnx))
+        shape = ("batch", 3, "height", "width") if args.onnx_dynamic \
+            else (1, 3, 256, 256)
+        wrote.append(export_onnx(params, args.onnx, input_shape=shape))
     if args.torchscript:
         from fast_neural_style_transfer_tpu.export.torchscript import export_torchscript
 

@@ -95,27 +95,31 @@ def reflect_conv2d(
     return out
 
 
-def _s2d_kernel(w: jnp.ndarray, s: int, out_phases: bool):
-    """Rearrange a (k, k, C, O) kernel for space-to-depth(s) input.
+def _s2d_kernel(w: jnp.ndarray, s: int, stride: int):
+    """Rearrange a (k, k, C, O) kernel for space-to-depth(s) input with an
+    original conv stride ``stride`` (stride must divide s).
 
-    Input s2d channel order: (cy, cx, c). With ``out_phases`` (stride-1
-    conv), output channels are (oy, ox, o) and get depth-to-space'd back;
-    without (stride == s), each s2d cell yields one output pixel.
+    Input s2d channel order: (cy, cx, c). Each s2d cell yields
+    p = s // stride output pixels per dim, as output channels (oy, ox, o)
+    depth-to-space'd back by the caller when p > 1.
 
-    Derivation: output pixel (s*m + oy) reads padded input row
-    s*m + oy + dy = s*(m + ky) + cy, i.e. dy = s*ky + cy - oy; taps with
-    dy outside [0, k-1] are zero. Kernel height k' = ceil((k + s - 1)/s).
+    Derivation: strided output index j = p*m + oy reads padded input rows
+    stride*j + dy' = s*(m + ky) + cy, i.e. the rearranged tap is
+    dy = s*ky + cy - stride*oy, masked to [0, k-1]. Kernel height
+    k' = ceil((k + stride*(p - 1)) / s).
     """
     import numpy as np_  # host-side index construction (static)
 
     k, _, c_in, c_out = w.shape
-    kp = -(-(k + (s - 1 if out_phases else 0)) // s)
-    n_out_phase = s if out_phases else 1
+    if s % stride:
+        raise ValueError(f"s2d factor {s} must be a multiple of stride {stride}")
+    n_out_phase = s // stride
+    kp = -(-(k + stride * (n_out_phase - 1)) // s)
 
     ky = np_.arange(kp)[:, None, None]          # (kp, 1, 1)
     cy = np_.arange(s)[None, :, None]           # (1, s, 1)
     oy = np_.arange(n_out_phase)[None, None, :]  # (1, 1, p)
-    dy = s * ky + cy - oy                        # (kp, s, p)
+    dy = s * ky + cy - stride * oy               # (kp, s, p)
     valid_y = (dy >= 0) & (dy < k)
     dy_c = np_.clip(dy, 0, k - 1)
 
@@ -137,31 +141,33 @@ def _reflect_conv2d_s2d(
     *,
     stride: int,
     accum_dtype=jnp.float32,
+    s: Optional[int] = None,
 ) -> jnp.ndarray:
-    """k=9 reflect conv via space-to-depth: identical math, MXU-shaped.
+    """k=9 reflect conv via space-to-depth(s): identical math, MXU-shaped.
 
-    stride 1: s=4 -> 3x3 conv over 16*C channels to 16*O phase-channels,
-    depth-to-space'd back to full resolution.
-    stride 2: s=2 -> 5x5 conv over 4*C channels to O channels directly.
+    Defaults: stride 1 -> s=4 (3x3 conv over 16*C channels, 16 output
+    phases depth-to-space'd back); stride 2 -> s=4 (3x3 conv over 16*C
+    channels, 4 output phases).
     """
     k = w.shape[0]
     pad = k // 2
-    s = 4 if stride == 1 else stride
-    out_phases = stride == 1
+    if s is None:
+        s = 4
+    p = s // stride
     n, h, w_dim, c = x.shape
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     hp, wp = h + 2 * pad, w_dim + 2 * pad
-    # trim so padded dims divide s (k=9, pad=4: s=4 -> exact; s=2 -> exact)
+    # padded dims must divide s (k=9, pad=4, H mult of 4: exact for s in {2,4})
     assert hp % s == 0 and wp % s == 0, (hp, wp, s)
     xs = xp.reshape(n, hp // s, s, wp // s, s, c)
     xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(n, hp // s, wp // s, s * s * c)
-    w2 = _s2d_kernel(w, s, out_phases).astype(x.dtype)
+    w2 = _s2d_kernel(w, s, stride).astype(x.dtype)
     out = _conv(xs, w2, 1, "VALID", accum_dtype=accum_dtype)
     c_out = w.shape[3]
-    if out_phases:
+    if p > 1:
         ho, wo = out.shape[1], out.shape[2]
-        out = out.reshape(n, ho, wo, s, s, c_out)
-        out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(n, ho * s, wo * s, c_out)
+        out = out.reshape(n, ho, wo, p, p, c_out)
+        out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(n, ho * p, wo * p, c_out)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import signal
+import threading
 import time
 from typing import Optional, Tuple
 
@@ -171,11 +173,23 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     start_step = int(state.step)
     t_start = time.perf_counter()
 
+    # Preemption handling (SURVEY.md §5.3): TPU VMs get SIGTERM before
+    # eviction; finish the in-flight step, then the finally-block persists a
+    # restorable checkpoint. Installed only on the main thread; restored after.
+    stop_requested = threading.Event()
+    prev_handler = None
+    if threading.current_thread() is threading.main_thread():
+        def _on_sigterm(signum, frame):
+            print("SIGTERM received: checkpointing and stopping", flush=True)
+            stop_requested.set()
+
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
     profiling = False
     step = start_step
     try:
         for batch in pipeline.device_batches():
-            if step >= cfg.total_steps:
+            if step >= cfg.total_steps or stop_requested.is_set():
                 break
             if cfg.profile_stop > cfg.profile_start:
                 if step == cfg.profile_start and not profiling:
@@ -214,6 +228,8 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         ckpt.wait()
         logger.close()
         ckpt.close()
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
 
     wall = time.perf_counter() - t_start
     done = step - start_step

@@ -103,3 +103,55 @@ def test_cli_parsers_flag_parity():
         ["--output_dir", "o", "--content_image", "c.jpg", "--model_path", "m.npz"]
     )
     assert args.model_path == "m.npz"
+
+
+def test_sigterm_checkpoints_and_exits_cleanly(workspace):
+    """Preemption drill: SIGTERM mid-training must stop the loop, persist a
+    checkpoint, and exit 0 (SURVEY.md §5.3 preemption safety)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    out_dir = workspace / "sig_out"
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from fast_neural_style_transfer_tpu.train import TrainConfig, train_style_transfer
+cfg = TrainConfig(
+    style_image=r"{workspace / 'style.jpg'}",
+    dataset_dir=r"{workspace / 'data'}",
+    output_dir=r"{out_dir}",
+    total_steps=10_000, batch_size=8, image_size=(32, 32),
+    log_every=1, monitor_every=10_000, checkpoint_every=10_000,
+    num_workers=2, resume=False,
+)
+train_style_transfer(cfg)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env={**os.environ, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    metrics = out_dir / "metrics.jsonl"
+    deadline = _time.time() + 240
+    try:
+        while _time.time() < deadline:  # wait until at least one step logged
+            if metrics.exists() and metrics.read_text().strip():
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"training exited early: {proc.stdout.read().decode()[-2000:]}"
+                )
+            _time.sleep(1)
+        else:
+            raise AssertionError("no training step within 240s")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out.decode()[-2000:]
+    assert b"SIGTERM received" in out
+    assert (out_dir / "checkpoints").exists()
+    assert os.path.exists(out_dir / "style_transfer_final.npz")

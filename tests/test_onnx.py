@@ -82,3 +82,14 @@ def test_onnx_stylize_file_end_to_end(tmp_path):
     out = onnx_stylize(model_path, str(content), str(tmp_path / "o.jpg"))
     with Image.open(out) as im:
         assert im.size == (256, 256)  # static-shape export resizes input
+
+
+def test_dynamic_shape_export_parses_and_runs():
+    """Symbolic batch/H/W export (dim_param) — graph runs at any resolution."""
+    params = _params()
+    data = build_onnx_model(params, input_shape=("batch", 3, "height", "width"))
+    m = parse_model(data)
+    assert m["inputs"] == [INPUT_NAME]
+    x = np.random.default_rng(0).normal(size=(2, 3, 40, 24)).astype(np.float32)
+    (out,) = run_model(data, {INPUT_NAME: x})
+    assert out.shape == (2, 3, 40, 24)
