@@ -31,6 +31,8 @@ def main(argv=None) -> None:
     p.add_argument("--pth", help="write reference-layout torch checkpoint here")
     p.add_argument("--hub-dir", help="package a Hugging Face repo dir here")
     args = p.parse_args(argv)
+    if args.onnx_dynamic and not args.onnx:
+        p.error("--onnx-dynamic requires --onnx")
 
     from fast_neural_style_transfer_tpu.infer import Stylizer
 

@@ -140,7 +140,16 @@ def build_onnx_model(
     last = g.nodes.pop()
     g.nodes.append(_rename_single_output(last, OUTPUT_NAME))
 
-    out_shape = list(input_shape)
+    # Output spatial dims equal the input's only when H/W are multiples of 4
+    # (the encoder floors, the decoder x4s). For symbolic dims declare
+    # DISTINCT out_* dim_params rather than asserting equality the graph
+    # doesn't guarantee; static non-multiple-of-4 dims are rounded up.
+    out_shape = list(input_shape)  # batch and channels are preserved exactly
+    for i in (2, 3):
+        if isinstance(out_shape[i], str):
+            out_shape[i] = f"out_{out_shape[i]}"
+        else:
+            out_shape[i] = -(-out_shape[i] // 4) * 4
     graph_msg = ow.graph(
         g.nodes,
         "style_transfer_net",

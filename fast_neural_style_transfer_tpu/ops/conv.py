@@ -151,14 +151,26 @@ def _reflect_conv2d_s2d(
     """
     k = w.shape[0]
     pad = k // 2
-    if s is None:
-        s = 4
-    p = s // stride
     n, h, w_dim, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     hp, wp = h + 2 * pad, w_dim + 2 * pad
-    # padded dims must divide s (k=9, pad=4, H mult of 4: exact for s in {2,4})
-    assert hp % s == 0 and wp % s == 0, (hp, wp, s)
+    if s is None:
+        # largest factor that stride divides and that tiles the padded dims
+        for cand in (4, 2, stride):
+            if cand % stride == 0 and hp % cand == 0 and wp % cand == 0:
+                s = cand
+                break
+        else:
+            raise ValueError(
+                f"no space-to-depth factor fits stride={stride}, padded dims "
+                f"({hp}, {wp}); use lowering='direct' for this shape"
+            )
+    if s % stride or hp % s or wp % s:
+        raise ValueError(
+            f"s2d factor {s} incompatible with stride={stride}, padded dims "
+            f"({hp}, {wp})"
+        )
+    p = s // stride
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     xs = xp.reshape(n, hp // s, s, wp // s, s, c)
     xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(n, hp // s, wp // s, s * s * c)
     w2 = _s2d_kernel(w, s, stride).astype(x.dtype)

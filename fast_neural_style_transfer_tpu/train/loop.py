@@ -177,6 +177,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     # eviction; finish the in-flight step, then the finally-block persists a
     # restorable checkpoint. Installed only on the main thread; restored after.
     stop_requested = threading.Event()
+    handler_installed = False
     prev_handler = None
     if threading.current_thread() is threading.main_thread():
         def _on_sigterm(signum, frame):
@@ -184,6 +185,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             stop_requested.set()
 
         prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        handler_installed = True
 
     profiling = False
     step = start_step
@@ -228,8 +230,10 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         ckpt.wait()
         logger.close()
         ckpt.close()
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
+        if handler_installed:
+            # prev_handler may be None (handler installed from C) — restore
+            # the default in that case rather than leaking our handler
+            signal.signal(signal.SIGTERM, prev_handler or signal.SIG_DFL)
 
     wall = time.perf_counter() - t_start
     done = step - start_step

@@ -93,3 +93,28 @@ def test_dynamic_shape_export_parses_and_runs():
     x = np.random.default_rng(0).normal(size=(2, 3, 40, 24)).astype(np.float32)
     (out,) = run_model(data, {INPUT_NAME: x})
     assert out.shape == (2, 3, 40, 24)
+
+
+def test_dynamic_export_output_dims_are_distinct_params():
+    """Output spatial dims are NOT guaranteed equal to input dims (non-4-
+    multiples round up), so symbolic outputs must use distinct dim_params."""
+    data = build_onnx_model(_params(), input_shape=("batch", 3, "height", "width"))
+    # crude but sufficient: the serialized bytes must contain out_height
+    assert b"out_height" in data and b"out_width" in data
+    # and a static non-multiple-of-4 shape declares the rounded-up output
+    x = np.random.default_rng(0).normal(size=(1, 3, 30, 30)).astype(np.float32)
+    data30 = build_onnx_model(_params(), input_shape=(1, 3, 30, 30))
+    (out,) = run_model(data30, {INPUT_NAME: x})
+    assert out.shape == (1, 3, 32, 32)
+
+
+def test_export_cli_dynamic_requires_onnx(tmp_path):
+    import pytest as _pytest
+
+    from fast_neural_style_transfer_tpu.export.cli import main
+    from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    npz = str(tmp_path / "p.npz")
+    save_params_npz(_params(), npz)
+    with _pytest.raises(SystemExit):
+        main(["--model", npz, "--onnx-dynamic", "--pth", str(tmp_path / "m.pth")])

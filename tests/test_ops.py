@@ -178,3 +178,24 @@ def test_conv_transpose_subpixel_lowering_matches_direct(rng, cin, cout, hw):
     d = conv_transpose2d(x, w, b, **kw, lowering="direct")
     s = conv_transpose2d(x, w, b, **kw, lowering="subpixel")
     np.testing.assert_allclose(np.asarray(s), np.asarray(d), rtol=1e-4, atol=1e-4)
+
+
+def test_reflect_conv2d_s2d_adaptive_factor_and_errors(rng):
+    """s2d picks a compatible factor for awkward shapes and raises a clear
+    ValueError (not a bare assert) when none fits."""
+    from fast_neural_style_transfer_tpu.ops.conv import (
+        _reflect_conv2d_s2d,
+        reflect_conv2d,
+    )
+
+    # H=30, stride=2: padded 38 -> s=4 unusable, s=2 picked automatically
+    x = jnp.asarray(rng.standard_normal((1, 30, 30, 3), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((9, 9, 3, 8), dtype=np.float32) * 0.1)
+    d = reflect_conv2d(x, w, None, stride=2, lowering="direct")
+    v = reflect_conv2d(x, w, None, stride=2, lowering="s2d")
+    np.testing.assert_allclose(np.asarray(v), np.asarray(d), rtol=1e-4, atol=1e-4)
+
+    # H=31, stride=2: padded 39 odd -> no factor fits -> clear error
+    x_odd = jnp.zeros((1, 31, 31, 3))
+    with pytest.raises(ValueError, match="space-to-depth factor"):
+        _reflect_conv2d_s2d(x_odd, w, None, stride=2)
