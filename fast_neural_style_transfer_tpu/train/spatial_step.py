@@ -1,0 +1,166 @@
+"""Spatially-sharded training: the FULL train step with image height sharded
+over the mesh 'space' axis.
+
+Use case: high-resolution fine-tuning (512² – 4K) where one chip can't hold
+the activations. Everything crossing the H dimension is sharding-aware
+(models/spatial.py + ops/sharded.py): stylizer and VGG convs exchange halos
+over ICI, instance-norm statistics and every loss reduction psum over the
+axis, TV adds its shard-seam terms. The resulting loss — and therefore the
+gradients — are numerically identical to unsharded training (verified in
+tests/test_spatial_train.py on a virtual mesh).
+
+Gradient flow: inside shard_map each shard differentiates its local slice of
+the computation (collectives transpose to collectives), yielding PARTIAL
+parameter gradients whose psum over the axis is the true global gradient —
+the same shape as data-parallel gradient aggregation, riding ICI. The Adam
+update runs outside shard_map on the replicated psum'd gradients.
+
+Shard-size constraint: local H divisible by 8 (stylizer needs 4, VGG's three
+pools before relu4_3 need 8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older JAX
+    from jax.experimental.shard_map import shard_map
+
+from fast_neural_style_transfer_tpu.core.dtypes import Precision
+from fast_neural_style_transfer_tpu.losses import LossTaps
+from fast_neural_style_transfer_tpu.models.spatial import (
+    transformer_forward_sharded,
+    vgg_features_sharded,
+)
+from fast_neural_style_transfer_tpu.ops import sharded as sh
+from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan
+from fast_neural_style_transfer_tpu.train.schedule import (
+    LossWeightSchedule,
+    cosine_lr_schedule,
+)
+from fast_neural_style_transfer_tpu.train.state import TrainState
+from fast_neural_style_transfer_tpu.train.step import ACTIVATION_CLAMP
+
+AXIS = "space"
+
+
+def spatial_loss_fn(
+    params: Any,
+    vgg_params: Any,
+    batch: jnp.ndarray,
+    style_grams: Tuple[jnp.ndarray, ...],
+    weights,
+    rng,
+    *,
+    taps: LossTaps,
+    precision: Precision,
+    axis: str = AXIS,
+):
+    """Per-shard weighted perceptual loss; every reduction is global, so the
+    returned scalar is identical on all shards."""
+    cw, sw, tw = weights
+    stylized = transformer_forward_sharded(
+        params, batch, train=True, rng=rng, precision=precision, axis=axis
+    )
+    stylized = jnp.clip(stylized, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
+
+    tap_names = taps.all_taps
+    content_feats = vgg_features_sharded(
+        lax.stop_gradient(vgg_params), lax.stop_gradient(batch), tap_names,
+        precision=precision, axis=axis,
+    )
+    content_feats = [lax.stop_gradient(f) for f in content_feats]
+    stylized_feats = vgg_features_sharded(
+        vgg_params, stylized, tap_names, precision=precision, axis=axis
+    )
+    s_feats, c_stylized = taps.split(stylized_feats)
+    _, c_target = taps.split(content_feats)
+
+    c_loss = cw * sh.content_loss_sharded(c_stylized, c_target, axis)
+    s_total = jnp.asarray(0.0, jnp.float32)
+    for feat, tgt, w in zip(s_feats, style_grams, taps.style_weights):
+        g = sh.gram_matrix_sharded(feat, axis)
+        c = tgt.shape[0]
+        layer = jnp.sum(jnp.square(g - tgt.astype(jnp.float32)[None]))
+        s_total = s_total + (w * layer) / (c * c)
+    s_loss = sw * s_total
+    t_loss = tw * sh.total_variation_loss_sharded(stylized, axis)
+    total = c_loss + s_loss + t_loss
+    return total, {
+        "loss": total,
+        "content_loss": c_loss,
+        "style_loss": s_loss,
+        "tv_loss": t_loss,
+    }
+
+
+def make_spatial_train_step(
+    optimizer: optax.GradientTransformation,
+    plan: MeshPlan,
+    *,
+    taps: LossTaps = LossTaps(),
+    weight_schedule: LossWeightSchedule = LossWeightSchedule(),
+    precision: Precision = Precision.f32(),
+    lr: float = 1e-3,
+    total_steps: int = 80_000,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted H-sharded ``step(state, vgg_params, batch_global,
+    style_grams, rng)``. ``batch_global`` is the full-resolution NHWC batch,
+    sharded (or shardable) as P(None, 'space', None, None) on the mesh."""
+    if AXIS not in plan.mesh.axis_names:
+        raise ValueError("mesh has no 'space' axis; build with make_mesh_plan(spatial=N)")
+    lr_fn = cosine_lr_schedule(lr, total_steps)
+    lfn = functools.partial(spatial_loss_fn, taps=taps, precision=precision)
+
+    def sharded_grads(params, vgg_params, batch, style_grams, weights, rng):
+        (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)(
+            params, vgg_params, batch, style_grams, weights, rng
+        )
+        # With replication checking ON, shard_map's transpose machinery
+        # inserts the cross-shard psum for gradients of replicated inputs
+        # itself — the grads come out global and replicated. (Disabling the
+        # check silently yields wrong bias grads, and an extra manual psum
+        # multiplies everything by the shard count — both found the hard
+        # way; see tests/test_spatial_train.py.)
+        return grads, metrics
+
+    kwargs = dict(
+        mesh=plan.mesh,
+        in_specs=(P(), P(), P(None, AXIS, None, None), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    try:
+        mapped = shard_map(sharded_grads, check_vma=True, **kwargs)
+    except TypeError:  # older JAX: the 'rep' system provides the same rule
+        mapped = shard_map(sharded_grads, check_rep=True, **kwargs)
+
+    def step_fn(state: TrainState, vgg_params, batch, style_grams, rng):
+        weights = weight_schedule(state.step)
+        grads, metrics = mapped(
+            state.params, vgg_params, batch, style_grams, weights, rng
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        finite = jnp.isfinite(metrics["loss"])
+        select = lambda new, old: jax.tree.map(
+            lambda a, o: jnp.where(finite, a, o), new, old
+        )
+        new_params = select(new_params, state.params)
+        new_opt_state = select(new_opt_state, state.opt_state)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["lr"] = lr_fn(state.step)
+        metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
+        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

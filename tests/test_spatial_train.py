@@ -1,0 +1,183 @@
+"""Spatially-sharded training parity: the H-sharded loss, gradients, and
+full train step must reproduce the unsharded math exactly (virtual 8-device
+CPU mesh, 4-way 'space' axis)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+from fast_neural_style_transfer_tpu.core.dtypes import Precision
+from fast_neural_style_transfer_tpu.losses import (
+    LossTaps,
+    style_targets_from_features,
+)
+from fast_neural_style_transfer_tpu.models import TransformerNet, VGG19Features
+from fast_neural_style_transfer_tpu.models.spatial import vgg_features_sharded
+from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+from fast_neural_style_transfer_tpu.train import create_train_state, make_train_step
+from fast_neural_style_transfer_tpu.train.schedule import LossWeightSchedule
+from fast_neural_style_transfer_tpu.train.spatial_step import (
+    make_spatial_train_step,
+    spatial_loss_fn,
+)
+from fast_neural_style_transfer_tpu.train.state import make_optimizer
+from fast_neural_style_transfer_tpu.train.step import loss_fn
+
+HW = 64  # local H = 16 per shard on the 4-way axis (divisible by 8)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except TypeError:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_rep=False)
+
+
+def _setup():
+    key = jax.random.PRNGKey(0)
+    taps = LossTaps(content_tap="relu4_2")
+    vgg = VGG19Features.init(key)
+    params = TransformerNet.init(key)
+    batch = jax.random.normal(jax.random.PRNGKey(3), (2, HW, HW, 3))
+    style = jax.random.normal(jax.random.PRNGKey(7), (1, HW, HW, 3))
+    grams = tuple(
+        style_targets_from_features(VGG19Features.apply(vgg, style, taps.style_taps))
+    )
+    return taps, vgg, params, batch, grams
+
+
+def test_sharded_vgg_matches_local():
+    taps, vgg, _, batch, _ = _setup()
+    plan = make_mesh_plan(spatial=4)
+    want = VGG19Features.apply(vgg, batch, taps.all_taps)
+
+    fn = _shard_map(
+        lambda v, x: vgg_features_sharded(v, x, taps.all_taps),
+        plan.mesh,
+        (P(), P(None, "space", None, None)),
+        [P(None, "space", None, None)] * len(taps.all_taps),
+    )
+    got = jax.jit(fn)(vgg, batch)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_loss_matches_local():
+    taps, vgg, params, batch, grams = _setup()
+    plan = make_mesh_plan(spatial=4)
+    weights = LossWeightSchedule()(jnp.asarray(0))
+
+    want, want_m = loss_fn(params, vgg, batch, grams, weights, None,
+                           taps=taps, precision=Precision.f32())
+
+    fn = _shard_map(
+        lambda p, v, x, g: spatial_loss_fn(p, v, x, g, weights, None,
+                                           taps=taps, precision=Precision.f32()),
+        plan.mesh,
+        (P(), P(), P(None, "space", None, None), P()),
+        (P(), P()),
+    )
+    got, got_m = jax.jit(fn)(params, vgg, batch, grams)
+    assert np.isclose(float(got), float(want), rtol=1e-4), (float(got), float(want))
+    for k in ("content_loss", "style_loss", "tv_loss"):
+        assert np.isclose(float(got_m[k]), float(want_m[k]), rtol=1e-3), k
+
+
+def test_spatial_gradients_match_local():
+    """Gradients from the H-sharded loss (shard_map with replication
+    checking on, which inserts the cross-shard psum in the transpose) equal
+    the unsharded gradients leaf-by-leaf. Near-zero-gradient leaves (pre-IN
+    biases, whose true gradient cancels exactly) are compared absolutely —
+    they are float noise in both computations."""
+    taps, vgg, params, batch, grams = _setup()
+    plan = make_mesh_plan(spatial=4)
+    weights = LossWeightSchedule()(jnp.asarray(0))
+
+    g_local = jax.grad(
+        lambda p: loss_fn(p, vgg, batch, grams, weights, None,
+                          taps=taps, precision=Precision.f32())[0]
+    )(params)
+
+    def sharded(p, v, x, g):
+        return jax.grad(
+            lambda pp: spatial_loss_fn(pp, v, x, g, weights, None,
+                                       taps=taps, precision=Precision.f32())[0]
+        )(p)
+
+    try:
+        fn = shard_map(sharded, mesh=plan.mesh,
+                       in_specs=(P(), P(), P(None, "space", None, None), P()),
+                       out_specs=P(), check_vma=True)
+    except TypeError:
+        fn = shard_map(sharded, mesh=plan.mesh,
+                       in_specs=(P(), P(), P(None, "space", None, None), P()),
+                       out_specs=P(), check_rep=True)
+    g_spatial = jax.jit(fn)(params, vgg, batch, grams)
+
+    scale = max(np.linalg.norm(np.asarray(l).ravel())
+                for l in jax.tree.leaves(g_local))
+    for a, b in zip(jax.tree.leaves(g_local), jax.tree.leaves(g_spatial)):
+        a = np.asarray(a).ravel()
+        b = np.asarray(b).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na < 1e-6 * scale:  # true gradient ~0: both sides are noise
+            assert nb < 1e-6 * scale, (na, nb)
+            continue
+        assert abs(na - nb) / na < 2e-3, (na, nb)
+        cos = float(a @ b / (na * nb))
+        assert cos > 0.99999, cos
+
+
+def test_spatial_train_step_matches_local_step():
+    """One full H-sharded train step == one unsharded step (loss identical;
+    params equal up to Adam's amplification of reduction-order noise on
+    near-zero gradient elements, bounded by ~2*lr)."""
+    taps, vgg, params, batch, grams = _setup()
+    plan = make_mesh_plan(spatial=4)
+    opt = make_optimizer(1e-3, 100)
+    kw = dict(taps=taps, weight_schedule=LossWeightSchedule(), lr=1e-3,
+              total_steps=100, donate=False)
+
+    local_step = make_train_step(opt, **kw)
+    s1, m1 = local_step(create_train_state(params, opt), vgg, batch, grams, None)
+
+    spatial_step = make_spatial_train_step(opt, plan, **kw)
+    s2, m2 = spatial_step(create_train_state(params, opt), vgg, batch, grams, None)
+
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2.5e-3
+        ),
+        s1.params,
+        s2.params,
+    )
+    assert int(s2.step) == 1
+
+
+def test_spatial_step_trains_loss_down():
+    taps, vgg, params, batch, grams = _setup()
+    plan = make_mesh_plan(spatial=4)
+    opt = make_optimizer(1e-3, 100)
+    step = make_spatial_train_step(
+        opt, plan, taps=taps, weight_schedule=LossWeightSchedule(),
+        lr=1e-3, total_steps=100, donate=False,
+    )
+    state = create_train_state(params, opt)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(8):
+        rng, k = jax.random.split(rng)
+        state, m = step(state, vgg, batch, grams, k)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first
