@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Host image-decode threads")
     p.add_argument("--weight_decay_every", type=int, default=10_000,
                    help="Halve content / double style weight every N steps (0=off)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="Shard image HEIGHT over N chips for high-resolution "
+                        "training (uses all devices on the 'space' axis)")
+    p.add_argument("--image_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="Training crop size (default: config TRAIN_IMAGE_SHAPE)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile_start", type=int, default=0,
                    help="Start a jax.profiler trace at this step")
@@ -77,7 +83,8 @@ def main(argv=None) -> None:
         total_steps=args.total_steps,
         batch_size=args.batch_size,
         lr=args.lr,
-        image_size=tuple(training_config["TRAIN_IMAGE_SHAPE"]),
+        image_size=tuple(args.image_size) if args.image_size
+        else tuple(training_config["TRAIN_IMAGE_SHAPE"]),
         content_weight=args.content_weight,
         style_weight=args.style_weight,
         tv_weight=args.tv_weight,
@@ -88,6 +95,7 @@ def main(argv=None) -> None:
         precision=args.precision,
         seed=args.seed,
         num_workers=args.num_workers,
+        spatial=args.spatial,
         init_checkpoint=args.checkpoint_path,
         profile_start=args.profile_start,
         profile_stop=args.profile_stop,

@@ -65,6 +65,9 @@ class TrainConfig:
     precision: str = "f32"
     seed: int = 0
     num_workers: int = 8
+    # >1 shards image HEIGHT over that many chips (high-res training via
+    # train/spatial_step.py); remaining chips form the data axis
+    spatial: int = 1
 
     log_every: int = 100
     monitor_every: int = 1000
@@ -91,8 +94,23 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         content_tap=cfg.content_tap,
     )
 
-    plan = make_mesh_plan()
-    plan.check_batch(cfg.batch_size)
+    if cfg.spatial > 1:
+        n_dev = len(jax.devices())
+        if cfg.spatial != n_dev:
+            raise ValueError(
+                f"spatial training uses ALL devices on the 'space' axis; "
+                f"got spatial={cfg.spatial} with {n_dev} devices"
+            )
+        if cfg.image_size[0] % (8 * cfg.spatial):
+            raise ValueError(
+                f"image height {cfg.image_size[0]} must divide 8 * spatial "
+                f"({8 * cfg.spatial}): stylizer needs 4, VGG's pools need 8 "
+                "rows per shard"
+            )
+        plan = make_mesh_plan(spatial=cfg.spatial)
+    else:
+        plan = make_mesh_plan()
+        plan.check_batch(cfg.batch_size)
     print(
         f"mesh: {plan.mesh.shape} over {len(plan.mesh.devices.flat)} "
         f"{plan.mesh.devices.flat[0].platform} device(s); "
@@ -136,14 +154,29 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         tv=cfg.tv_weight,
         decay_every=cfg.weight_decay_every,
     )
-    train_step = make_train_step(
-        optimizer,
-        taps=taps,
-        weight_schedule=weight_schedule,
-        precision=prec,
-        lr=cfg.lr,
-        total_steps=cfg.total_steps,
-    )
+    if cfg.spatial > 1:
+        from fast_neural_style_transfer_tpu.train.spatial_step import (
+            make_spatial_train_step,
+        )
+
+        train_step = make_spatial_train_step(
+            optimizer,
+            plan,
+            taps=taps,
+            weight_schedule=weight_schedule,
+            precision=prec,
+            lr=cfg.lr,
+            total_steps=cfg.total_steps,
+        )
+    else:
+        train_step = make_train_step(
+            optimizer,
+            taps=taps,
+            weight_schedule=weight_schedule,
+            precision=prec,
+            lr=cfg.lr,
+            total_steps=cfg.total_steps,
+        )
     eval_forward = make_eval_forward(precision=prec)
 
     dataset = ImageFolderDataset(cfg.dataset_dir, cfg.image_size, seed=cfg.seed)

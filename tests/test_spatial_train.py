@@ -181,3 +181,51 @@ def test_spatial_step_trains_loss_down():
         if first is None:
             first = float(m["loss"])
     assert float(m["loss"]) < first
+
+
+def test_spatial_training_end_to_end(tmp_path):
+    """train_style_transfer with spatial=8: full orchestration (pipeline,
+    sharded step, checkpoint, final artifact) on the virtual mesh."""
+    from PIL import Image
+
+    from fast_neural_style_transfer_tpu.train import TrainConfig, train_style_transfer
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (140, 70, 3), dtype=np.uint8)).save(
+            data / f"img_{i}.jpg"
+        )
+    style = tmp_path / "style.jpg"
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)).save(style)
+
+    import pytest
+
+    cfg = TrainConfig(
+        style_image=str(style),
+        dataset_dir=str(data),
+        output_dir=str(tmp_path / "out"),
+        total_steps=2,
+        batch_size=2,
+        image_size=(128, 64),  # local H = 16 per shard on the 8-way axis
+        spatial=8,
+        log_every=1,
+        monitor_every=100,
+        checkpoint_every=100,
+        num_workers=2,
+        resume=False,
+    )
+    with pytest.warns(UserWarning, match="VGG19"):
+        final = train_style_transfer(cfg)
+    import os
+
+    assert os.path.exists(final)
+
+    # invalid spatial configs fail fast
+    cfg_bad = TrainConfig(
+        style_image=str(style), dataset_dir=str(data),
+        output_dir=str(tmp_path / "o2"), image_size=(100, 64), spatial=8,
+    )
+    with pytest.raises(ValueError, match="image height"):
+        train_style_transfer(cfg_bad)
