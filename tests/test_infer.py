@@ -72,3 +72,24 @@ def test_image_io_normalize_roundtrip(tmp_path):
     save_image(x, str(tmp_path / "y.png"))
     with Image.open(tmp_path / "y.png") as im:
         np.testing.assert_array_equal(np.asarray(im), arr)
+
+
+def test_begin_inference_cli_spatial(tmp_path):
+    """--spatial N routes through the halo-exchange forward (in-process,
+    virtual 8-device mesh)."""
+    from fast_neural_style_transfer_tpu.cli.begin_inference import main
+    from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    model = tmp_path / "m.npz"
+    save_params_npz(_params(), str(model))
+    content = tmp_path / "c.jpg"
+    Image.fromarray(
+        np.random.default_rng(5).integers(0, 256, (96, 64, 3), dtype=np.uint8)
+    ).save(content)
+    main([
+        "--model_path", str(model), "--content_image", str(content),
+        "--output_dir", str(tmp_path), "--output_name", "sp.jpg",
+        "--spatial", "4",
+    ])
+    with Image.open(tmp_path / "sp.jpg") as im:
+        assert im.size == (64, 96)
