@@ -141,28 +141,38 @@ def instance_norm_sharded(x, gamma, beta, *, eps: float = 1e-5,
 
 
 def gram_matrix_sharded(feat: jnp.ndarray, axis: str = AXIS) -> jnp.ndarray:
-    """Global (b, c, c) Gram of an H-sharded feature map: local partial
-    Gram + psum (the spatial sum distributes over shards)."""
+    """Global (b_local, c, c) Gram of an H-sharded feature map: local partial
+    Gram + psum over 'space' (the spatial sum distributes over shards). The
+    batch dim stays local — Grams are per-sample."""
     b, h, w, c = feat.shape
     f = feat.reshape(b, h * w, c)
     local = jnp.einsum("bnc,bnd->bcd", f, f, preferred_element_type=jnp.float32)
     return lax.psum(local, axis)
 
 
-def content_loss_sharded(input_feat, target_feat, axis: str = AXIS):
-    """Reference content loss (sum-MSE / (c*h_global*w)) over sharded maps."""
+def content_loss_sharded(input_feat, target_feat, axis: str = AXIS,
+                         batch_axes=()):
+    """Reference content loss (sum-MSE / (c*h_global*w)) over sharded maps.
+    ``batch_axes`` names additional mesh axes the BATCH dim is sharded over
+    (2-D data x space training): the sum then also psums over them —
+    matching the reference, which sums over batch without normalizing."""
     diff = input_feat.astype(jnp.float32) - target_feat.astype(jnp.float32)
     b, h, w, c = input_feat.shape
     h_global = h * lax.axis_size(axis)
-    return lax.psum(jnp.sum(jnp.square(diff)), axis) / (c * h_global * w)
+    total = lax.psum(jnp.sum(jnp.square(diff)), (axis, *batch_axes))
+    return total / (c * h_global * w)
 
 
-def total_variation_loss_sharded(img, axis: str = AXIS):
+def total_variation_loss_sharded(img, axis: str = AXIS, batch_axes=()):
     """Reference anisotropic TV over an H-sharded image, including the seam
-    terms between the last row of shard i and the first row of shard i+1."""
+    terms between the last row of shard i and the first row of shard i+1;
+    normalized by the GLOBAL batch size when the batch is sharded too."""
     x = img.astype(jnp.float32)
     b, h, w, c = x.shape
     h_global = h * lax.axis_size(axis)
+    b_global = b
+    for a in batch_axes:
+        b_global = b_global * lax.axis_size(a)
     tv_h = jnp.sum(jnp.square(x[:, 1:] - x[:, :-1]))
     tv_w = jnp.sum(jnp.square(x[:, :, 1:] - x[:, :, :-1]))
     # seam: my first row differences against the previous shard's last row;
@@ -170,5 +180,5 @@ def total_variation_loss_sharded(img, axis: str = AXIS):
     prev_last = from_prev(x[:, -1:], axis)
     seam = jnp.sum(jnp.square(x[:, :1] - prev_last))
     seam = jnp.where(lax.axis_index(axis) == 0, 0.0, seam)
-    total = lax.psum(tv_h + tv_w + seam, axis)
-    return total / (b * c * h_global * w)
+    total = lax.psum(tv_h + tv_w + seam, (axis, *batch_axes))
+    return total / (b_global * c * h_global * w)

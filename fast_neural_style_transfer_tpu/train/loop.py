@@ -96,10 +96,10 @@ def train_style_transfer(cfg: TrainConfig) -> str:
 
     if cfg.spatial > 1:
         n_dev = len(jax.devices())
-        if cfg.spatial != n_dev:
+        if n_dev % cfg.spatial:
             raise ValueError(
-                f"spatial training uses ALL devices on the 'space' axis; "
-                f"got spatial={cfg.spatial} with {n_dev} devices"
+                f"spatial={cfg.spatial} must divide the {n_dev} devices; "
+                "remaining devices form the data axis"
             )
         if cfg.image_size[0] % (8 * cfg.spatial):
             raise ValueError(
@@ -108,6 +108,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
                 "rows per shard"
             )
         plan = make_mesh_plan(spatial=cfg.spatial)
+        plan.check_batch(cfg.batch_size)  # batch splits over the data axis
     else:
         plan = make_mesh_plan()
         plan.check_batch(cfg.batch_size)

@@ -64,10 +64,18 @@ def spatial_loss_fn(
     taps: LossTaps,
     precision: Precision,
     axis: str = AXIS,
+    batch_axes: Tuple[str, ...] = (),
 ):
-    """Per-shard weighted perceptual loss; every reduction is global, so the
-    returned scalar is identical on all shards."""
+    """Per-shard weighted perceptual loss; every reduction is global (over
+    the 'space' axis plus any ``batch_axes`` the batch dim is sharded over),
+    so the returned scalar is identical on all shards."""
     cw, sw, tw = weights
+    if rng is not None:
+        # distinct dropout masks per data shard (each holds different
+        # samples); 'space' shards of the SAME sample must share the mask,
+        # so never fold the space index in
+        for a in batch_axes:
+            rng = jax.random.fold_in(rng, lax.axis_index(a))
     stylized = transformer_forward_sharded(
         params, batch, train=True, rng=rng, precision=precision, axis=axis
     )
@@ -85,15 +93,17 @@ def spatial_loss_fn(
     s_feats, c_stylized = taps.split(stylized_feats)
     _, c_target = taps.split(content_feats)
 
-    c_loss = cw * sh.content_loss_sharded(c_stylized, c_target, axis)
+    c_loss = cw * sh.content_loss_sharded(c_stylized, c_target, axis, batch_axes)
     s_total = jnp.asarray(0.0, jnp.float32)
     for feat, tgt, w in zip(s_feats, style_grams, taps.style_weights):
         g = sh.gram_matrix_sharded(feat, axis)
         c = tgt.shape[0]
         layer = jnp.sum(jnp.square(g - tgt.astype(jnp.float32)[None]))
+        if batch_axes:  # batch sharded: the over-batch sum spans those axes
+            layer = lax.psum(layer, batch_axes)
         s_total = s_total + (w * layer) / (c * c)
     s_loss = sw * s_total
-    t_loss = tw * sh.total_variation_loss_sharded(stylized, axis)
+    t_loss = tw * sh.total_variation_loss_sharded(stylized, axis, batch_axes)
     total = c_loss + s_loss + t_loss
     return total, {
         "loss": total,
@@ -120,7 +130,14 @@ def make_spatial_train_step(
     if AXIS not in plan.mesh.axis_names:
         raise ValueError("mesh has no 'space' axis; build with make_mesh_plan(spatial=N)")
     lr_fn = cosine_lr_schedule(lr, total_steps)
-    lfn = functools.partial(spatial_loss_fn, taps=taps, precision=precision)
+    # 2-D mesh: the batch dim additionally shards over 'data'; loss sums
+    # then psum over it too (instance norm and halos stay 'space'-only —
+    # they never cross samples)
+    data_sharded = "data" in plan.mesh.axis_names and plan.mesh.shape["data"] > 1
+    batch_axes: Tuple[str, ...] = ("data",) if data_sharded else ()
+    batch_spec = P("data" if data_sharded else None, AXIS, None, None)
+    lfn = functools.partial(spatial_loss_fn, taps=taps, precision=precision,
+                            batch_axes=batch_axes)
 
     def sharded_grads(params, vgg_params, batch, style_grams, weights, rng):
         (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)(
@@ -136,7 +153,7 @@ def make_spatial_train_step(
 
     kwargs = dict(
         mesh=plan.mesh,
-        in_specs=(P(), P(), P(None, AXIS, None, None), P(), P(), P()),
+        in_specs=(P(), P(), batch_spec, P(), P(), P()),
         out_specs=(P(), P()),
     )
     try:

@@ -229,3 +229,45 @@ def test_spatial_training_end_to_end(tmp_path):
     )
     with pytest.raises(ValueError, match="image height"):
         train_style_transfer(cfg_bad)
+
+
+def test_2d_mesh_data_x_spatial_step_matches_local():
+    """Combined 2-D (data=2 x space=4) training: batch sharded over 'data',
+    H over 'space'; one step must match the unsharded step."""
+    taps, vgg, params, batch, grams = _setup()  # batch (2, 64, 64, 3)
+    plan = make_mesh_plan(spatial=4)  # 8 devices -> data=2, space=4
+    assert plan.mesh.shape == {"data": 2, "space": 4}
+    opt = make_optimizer(1e-3, 100)
+    kw = dict(taps=taps, weight_schedule=LossWeightSchedule(), lr=1e-3,
+              total_steps=100, donate=False)
+
+    local_step = make_train_step(opt, **kw)
+    s1, m1 = local_step(create_train_state(params, opt), vgg, batch, grams, None)
+
+    step_2d = make_spatial_train_step(opt, plan, **kw)
+    s2, m2 = step_2d(create_train_state(params, opt), vgg, batch, grams, None)
+
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4), (
+        float(m1["loss"]), float(m2["loss"]))
+    for k in ("content_loss", "style_loss", "tv_loss"):
+        assert np.isclose(float(m1[k]), float(m2[k]), rtol=1e-3), k
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2.5e-3
+        ),
+        s1.params,
+        s2.params,
+    )
+
+
+def test_2d_mesh_step_with_dropout_runs():
+    taps, vgg, params, batch, grams = _setup()
+    plan = make_mesh_plan(spatial=4)
+    opt = make_optimizer(1e-3, 100)
+    step = make_spatial_train_step(
+        opt, plan, taps=taps, weight_schedule=LossWeightSchedule(),
+        lr=1e-3, total_steps=100, donate=False,
+    )
+    state = create_train_state(params, opt)
+    state, m = step(state, vgg, batch, grams, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["loss"]))
