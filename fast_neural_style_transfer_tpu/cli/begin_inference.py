@@ -32,11 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    from fast_neural_style_transfer_tpu.cli.begin_training import (
-        _enable_compilation_cache,
-    )
+    from fast_neural_style_transfer_tpu.cli import enable_compilation_cache
 
-    _enable_compilation_cache()
+    enable_compilation_cache()
     from fast_neural_style_transfer_tpu.infer import stylize_image_file
 
     os.makedirs(args.output_dir, exist_ok=True)

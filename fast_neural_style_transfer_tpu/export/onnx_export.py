@@ -52,13 +52,14 @@ class _GraphBuilder:
             self._pad_cache[p] = name
         return self._pad_cache[p]
 
-    def reflect_conv(self, x: str, prefix: str, k: int, stride: int) -> str:
+    def reflect_conv(self, x: str, prefix: str, k: int, stride: int,
+                     out: str = "") -> str:
         p = k // 2
         padded = self.fresh("pad")
         self.nodes.append(
             ow.node("Pad", [x, self._pads_const(p)], [padded], mode="reflect")
         )
-        out = self.fresh("conv")
+        out = out or self.fresh("conv")
         self.nodes.append(
             ow.node(
                 "Conv",
@@ -135,10 +136,7 @@ def build_onnx_model(
     # decoder
     h = g.relu(g.inorm(g.conv_transpose(h, "up1.upsample_conv", 3), "norm3"))
     h = g.relu(g.inorm(g.conv_transpose(h, "up2.upsample_conv", 3), "norm4"))
-    g.reflect_conv(h, "final_conv.conv", 9, 1)
-    # rename last node's output to the public name
-    last = g.nodes.pop()
-    g.nodes.append(_rename_single_output(last, OUTPUT_NAME))
+    g.reflect_conv(h, "final_conv.conv", 9, 1, out=OUTPUT_NAME)
 
     # Output spatial dims equal the input's only when H/W are multiples of 4
     # (the encoder floors, the decoder x4s). For symbolic dims declare
@@ -158,52 +156,6 @@ def build_onnx_model(
         initializers=g.initializers,
     )
     return ow.model(graph_msg, opset_version=opset_version)
-
-
-def _rename_single_output(node_msg: bytes, new_name: str) -> bytes:
-    """Rebuild a NodeProto replacing its (single) output-name field."""
-    # Simpler than a protobuf editor: scan fields and rewrite field 2.
-    out = bytearray()
-    i = 0
-    while i < len(node_msg):
-        tag_start = i
-        tag = 0
-        shift = 0
-        while True:
-            b = node_msg[i]
-            tag |= (b & 0x7F) << shift
-            shift += 7
-            i += 1
-            if not b & 0x80:
-                break
-        field, wire = tag >> 3, tag & 7
-        if wire == 2:
-            ln = 0
-            shift = 0
-            while True:
-                b = node_msg[i]
-                ln |= (b & 0x7F) << shift
-                shift += 7
-                i += 1
-                if not b & 0x80:
-                    break
-            payload = node_msg[i : i + ln]
-            i += ln
-            if field == 2:  # output name -> replace
-                out += ow._string(2, new_name)
-            else:
-                out += node_msg[tag_start:i]
-        elif wire == 0:
-            while node_msg[i] & 0x80:
-                i += 1
-            i += 1
-            out += node_msg[tag_start:i]
-        elif wire == 5:
-            i += 4
-            out += node_msg[tag_start:i]
-        else:
-            raise ValueError(f"unexpected wire type {wire}")
-    return bytes(out)
 
 
 def export_onnx(params: Any, path: str, **kw) -> str:

@@ -21,13 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-try:
-    from jax import shard_map
-except ImportError:  # older JAX
-    from jax.experimental.shard_map import shard_map
-
 from fast_neural_style_transfer_tpu.models.spatial import transformer_forward_sharded
-from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan
+from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan, shard_map_checked
 
 AXIS = "space"
 
@@ -39,19 +34,16 @@ def make_spatial_forward(plan: MeshPlan):
     """
     if "space" not in plan.mesh.axis_names:
         raise ValueError("mesh has no 'space' axis; build with make_mesh_plan(spatial=N)")
-    kwargs = dict(
-        mesh=plan.mesh,
-        in_specs=(P(), P(None, AXIS, None, None)),
-        out_specs=P(None, AXIS, None, None),
-    )
-
     def fwd(params: Any, x: jnp.ndarray) -> jnp.ndarray:
         return transformer_forward_sharded(params, x, train=False, axis=AXIS)
 
-    try:  # jax>=0.8 names the replication check 'check_vma'; older 'check_rep'
-        mapped = shard_map(fwd, check_vma=False, **kwargs)
-    except TypeError:
-        mapped = shard_map(fwd, check_rep=False, **kwargs)
+    mapped = shard_map_checked(
+        fwd,
+        plan.mesh,
+        in_specs=(P(), P(None, AXIS, None, None)),
+        out_specs=P(None, AXIS, None, None),
+        check=False,
+    )
     return jax.jit(mapped)
 
 

@@ -28,6 +28,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
 
+from fast_neural_style_transfer_tpu.ops.gram import gram_matrix
+
 
 @dataclasses.dataclass(frozen=True)
 class LossTaps:
@@ -70,12 +72,6 @@ class LossTaps:
 REFERENCE_TAPS = LossTaps(content_tap="relu4_3")
 
 
-def _gram(feat: jnp.ndarray) -> jnp.ndarray:
-    from fast_neural_style_transfer_tpu.ops import gram_matrix
-
-    return gram_matrix(feat)
-
-
 def style_targets_from_features(style_feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
     """Precompute per-layer style Grams from a batch-1 style image's features.
 
@@ -83,7 +79,7 @@ def style_targets_from_features(style_feats: Sequence[jnp.ndarray]) -> List[jnp.
     """
     targets = []
     for f in style_feats:
-        g = _gram(f)
+        g = gram_matrix(f)
         targets.append(jnp.squeeze(g, axis=0))
     return targets
 
@@ -98,7 +94,7 @@ def style_loss(
         raise ValueError("style taps / targets / weights length mismatch")
     total = jnp.asarray(0.0, jnp.float32)
     for feat, tgt, w in zip(style_feats, target_grams, weights):
-        g = _gram(feat).astype(jnp.float32)  # (b, c, c)
+        g = gram_matrix(feat).astype(jnp.float32)  # (b, c, c)
         c = tgt.shape[0]
         tgt = tgt.astype(jnp.float32)[None]  # broadcast over batch
         layer = jnp.sum(jnp.square(g - tgt))

@@ -49,11 +49,10 @@ DROPOUT_RATE = 0.1
 
 
 def _init_conv(key, k: int, cin: int, cout: int, *, transpose: bool = False):
-    """PyTorch-default init. fan_in is cin*k*k for Conv2d; torch computes
-    ConvTranspose2d fan_in on the (in, out, k, k) weight's dims [1:] too, i.e.
-    out*k*k... no: torch _calculate_fan_in_and_fan_out uses dims: fan_in =
-    weight.size(1) * receptive_field = out_ch*k*k for transposed convs.
-    """
+    """PyTorch-default Kaiming-uniform init: U(-L, L) with L = 1/sqrt(fan_in).
+    torch's _calculate_fan_in_and_fan_out takes fan_in from weight dim 1 times
+    the receptive field, which for ConvTranspose2d's (in, out, kh, kw) layout
+    is out_ch*k*k — hence the ``transpose`` switch."""
     wkey, bkey = jax.random.split(key)
     fan_in = (cout if transpose else cin) * k * k
     limit = 1.0 / math.sqrt(fan_in)

@@ -21,12 +21,14 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "fnst_host.cpp")
 _LIB = os.path.join(_DIR, "libfnst_host.so")
 
+from fast_neural_style_transfer_tpu.utils.image_io import IMAGENET_MEAN, IMAGENET_STD
+
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
-_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STDINV = 1.0 / np.asarray([0.229, 0.224, 0.225], np.float32)
+_IMAGENET_MEAN = np.ascontiguousarray(IMAGENET_MEAN, np.float32)
+_IMAGENET_STDINV = np.ascontiguousarray(1.0 / IMAGENET_STD, np.float32)
 
 
 def _build() -> bool:

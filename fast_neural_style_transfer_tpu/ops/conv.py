@@ -171,15 +171,23 @@ def _reflect_conv2d_s2d(
         )
     p = s // stride
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    xs = xp.reshape(n, hp // s, s, wp // s, s, c)
-    xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(n, hp // s, wp // s, s * s * c)
+    # one split/merge per reshape: sharding propagation (sharded batch dim)
+    # rejects reshapes that split or merge multiple axes at once
+    xs = xp.reshape(n, hp // s, s, wp, c)
+    xs = xs.reshape(n, hp // s, s, wp // s, s, c)
+    xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5))
+    xs = xs.reshape(n, hp // s, wp // s, s, s * c)
+    xs = xs.reshape(n, hp // s, wp // s, s * s * c)
     w2 = _s2d_kernel(w, s, stride).astype(x.dtype)
     out = _conv(xs, w2, 1, "VALID", accum_dtype=accum_dtype)
     c_out = w.shape[3]
     if p > 1:
         ho, wo = out.shape[1], out.shape[2]
+        out = out.reshape(n, ho, wo, p, p * c_out)
         out = out.reshape(n, ho, wo, p, p, c_out)
-        out = jnp.transpose(out, (0, 1, 3, 2, 4, 5)).reshape(n, ho * p, wo * p, c_out)
+        out = jnp.transpose(out, (0, 1, 3, 2, 4, 5))
+        out = out.reshape(n, ho * p, wo, p, c_out)
+        out = out.reshape(n, ho * p, wo * p, c_out)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

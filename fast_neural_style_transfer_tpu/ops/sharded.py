@@ -61,10 +61,9 @@ def halo_extend(x: jnp.ndarray, p: int, *, mode: str, axis: str = AXIS) -> jnp.n
 
 
 def _conv_valid(x, w, stride):
-    return lax.conv_general_dilated(
-        x, w.astype(x.dtype), (stride, stride), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    from fast_neural_style_transfer_tpu.ops.conv import _conv
+
+    return _conv(x, w, stride, "VALID")
 
 
 def reflect_conv2d_sharded(x, w, b, *, stride: int = 1, axis: str = AXIS):

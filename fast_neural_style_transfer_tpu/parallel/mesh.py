@@ -20,6 +20,23 @@ from typing import Optional, Sequence
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older JAX
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map_checked(fn, mesh, in_specs, out_specs, *, check: bool = True):
+    """Version-portable ``shard_map``: jax>=0.8 names the replication check
+    ``check_vma``, older versions ``check_rep``. The check matters for
+    gradients — with it ON, shard_map's transpose inserts the cross-shard
+    psums for replicated inputs itself (see train/spatial_step.py)."""
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return _shard_map(fn, check_vma=check, **kwargs)
+    except TypeError:
+        return _shard_map(fn, check_rep=check, **kwargs)
+
 
 @dataclasses.dataclass(frozen=True)
 class MeshPlan:

@@ -240,7 +240,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
                     state, vgg_params, batch, style_grams, step_rng
                 )
             step += 1
-            logger.update({k: v for k, v in metrics.items()})
+            logger.update(metrics)
 
             if logger.should_log(step):
                 logger.flush(step)
@@ -257,7 +257,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         # and leave a restorable checkpoint behind
         if profiling:
             jax.profiler.stop_trace()
-        if logger._count:
+        if logger.pending:
             logger.flush(step)
         if step > start_step and ckpt.latest_step() != step:
             ckpt.save(step, state)

@@ -30,11 +30,6 @@ import optax
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-try:
-    from jax import shard_map
-except ImportError:  # older JAX
-    from jax.experimental.shard_map import shard_map
-
 from fast_neural_style_transfer_tpu.core.dtypes import Precision
 from fast_neural_style_transfer_tpu.losses import LossTaps
 from fast_neural_style_transfer_tpu.models.spatial import (
@@ -42,7 +37,7 @@ from fast_neural_style_transfer_tpu.models.spatial import (
     vgg_features_sharded,
 )
 from fast_neural_style_transfer_tpu.ops import sharded as sh
-from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan
+from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan, shard_map_checked
 from fast_neural_style_transfer_tpu.train.schedule import (
     LossWeightSchedule,
     cosine_lr_schedule,
@@ -151,15 +146,13 @@ def make_spatial_train_step(
         # way; see tests/test_spatial_train.py.)
         return grads, metrics
 
-    kwargs = dict(
-        mesh=plan.mesh,
+    mapped = shard_map_checked(
+        sharded_grads,
+        plan.mesh,
         in_specs=(P(), P(), batch_spec, P(), P(), P()),
         out_specs=(P(), P()),
+        check=True,
     )
-    try:
-        mapped = shard_map(sharded_grads, check_vma=True, **kwargs)
-    except TypeError:  # older JAX: the 'rep' system provides the same rule
-        mapped = shard_map(sharded_grads, check_rep=True, **kwargs)
 
     def step_fn(state: TrainState, vgg_params, batch, style_grams, rng):
         weights = weight_schedule(state.step)

@@ -20,8 +20,7 @@ class MetricLogger:
     def __init__(self, jsonl_path: Optional[str] = None, print_every: int = 100):
         self.jsonl_path = jsonl_path
         self.print_every = print_every
-        self._sums: Dict[str, float] = defaultdict(float)
-        self._count = 0
+        self._pending: list = []  # per-step metric dicts, possibly device arrays
         self._t0 = time.perf_counter()
         if jsonl_path:
             os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
@@ -31,20 +30,32 @@ class MetricLogger:
             self._fh = None
 
     def update(self, metrics: Dict[str, Any]) -> None:
-        for k, v in metrics.items():
-            self._sums[k] += float(v)
-        self._count += 1
+        """Record one step's metrics WITHOUT materializing device values —
+        converting here would force a device->host sync every training step
+        and serialize the async dispatch pipeline. Values are fetched once
+        per flush (every ``print_every`` steps)."""
+        self._pending.append(metrics)
+
+    @property
+    def pending(self) -> int:
+        return len(self._pending)
 
     def should_log(self, step: int) -> bool:
-        return step % self.print_every == 0 and self._count > 0
+        return step % self.print_every == 0 and self._pending
 
     def flush(self, step: int, extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-        """Emit running means since the last flush; reset accumulators."""
+        """Emit running means since the last flush; reset accumulators.
+        This is the (only) point that synchronizes on the device metrics."""
+        sums: Dict[str, float] = defaultdict(float)
+        for m in self._pending:
+            for k, v in m.items():
+                sums[k] += float(v)
+        count = len(self._pending)
         now = time.perf_counter()
-        means = {k: v / max(self._count, 1) for k, v in self._sums.items()}
+        means = {k: v / max(count, 1) for k, v in sums.items()}
         record = {
             "step": step,
-            "steps_per_sec": self._count / max(now - self._t0, 1e-9),
+            "steps_per_sec": count / max(now - self._t0, 1e-9),
             **means,
             **(extra or {}),
         }
@@ -55,8 +66,7 @@ class MetricLogger:
             if k != "step" and isinstance(v, float):
                 parts.append(f"{k}={v:.6g}")
         print("  ".join(parts), flush=True)
-        self._sums.clear()
-        self._count = 0
+        self._pending.clear()
         self._t0 = now
         return record
 

@@ -199,3 +199,30 @@ def test_reflect_conv2d_s2d_adaptive_factor_and_errors(rng):
     x_odd = jnp.zeros((1, 31, 31, 3))
     with pytest.raises(ValueError, match="space-to-depth factor"):
         _reflect_conv2d_s2d(x_odd, w, None, stride=2)
+
+
+def test_s2d_lowering_works_with_sharded_batch(rng):
+    """The s2d reshapes must stay one-split/one-merge per reshape: sharding
+    propagation on a device-sharded batch rejects multi-axis reshapes (hit
+    in real DP training on TPU, where s2d auto-activates)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fast_neural_style_transfer_tpu.ops.conv import reflect_conv2d
+    from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+    plan = make_mesh_plan()
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3), dtype=np.float32))
+    xs = jax.device_put(x, NamedSharding(plan.mesh, P("data", None, None, None)))
+    w = jnp.asarray(rng.standard_normal((9, 9, 3, 8), dtype=np.float32) * 0.1)
+
+    fwd = jax.jit(lambda v: reflect_conv2d(v, w, None, stride=2, lowering="s2d"))
+    got = np.asarray(fwd(xs))
+    want = np.asarray(reflect_conv2d(x, w, None, stride=2, lowering="direct"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # stride-1 path (output depth-to-space) with sharded batch too
+    w1 = jnp.asarray(rng.standard_normal((9, 9, 3, 4), dtype=np.float32) * 0.1)
+    fwd1 = jax.jit(lambda v: reflect_conv2d(v, w1, None, stride=1, lowering="s2d"))
+    got1 = np.asarray(fwd1(xs))
+    want1 = np.asarray(reflect_conv2d(x, w1, None, stride=1, lowering="direct"))
+    np.testing.assert_allclose(got1, want1, rtol=1e-4, atol=1e-4)

@@ -8,11 +8,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-try:
-    from jax import shard_map
-except ImportError:
-    from jax.experimental.shard_map import shard_map
-
 from fast_neural_style_transfer_tpu.core.dtypes import Precision
 from fast_neural_style_transfer_tpu.losses import (
     LossTaps,
@@ -34,12 +29,10 @@ HW = 64  # local H = 16 per shard on the 4-way axis (divisible by 8)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
-    try:
-        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                         check_vma=False)
-    except TypeError:
-        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                         check_rep=False)
+    from fast_neural_style_transfer_tpu.parallel import shard_map_checked
+
+    return shard_map_checked(fn, mesh, in_specs=in_specs, out_specs=out_specs,
+                             check=False)
 
 
 def _setup():
@@ -113,14 +106,11 @@ def test_spatial_gradients_match_local():
                                        taps=taps, precision=Precision.f32())[0]
         )(p)
 
-    try:
-        fn = shard_map(sharded, mesh=plan.mesh,
-                       in_specs=(P(), P(), P(None, "space", None, None), P()),
-                       out_specs=P(), check_vma=True)
-    except TypeError:
-        fn = shard_map(sharded, mesh=plan.mesh,
-                       in_specs=(P(), P(), P(None, "space", None, None), P()),
-                       out_specs=P(), check_rep=True)
+    from fast_neural_style_transfer_tpu.parallel import shard_map_checked
+
+    fn = shard_map_checked(sharded, plan.mesh,
+                           in_specs=(P(), P(), P(None, "space", None, None), P()),
+                           out_specs=P(), check=True)
     g_spatial = jax.jit(fn)(params, vgg, batch, grams)
 
     scale = max(np.linalg.norm(np.asarray(l).ravel())
