@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Host image-decode threads")
     p.add_argument("--weight_decay_every", type=int, default=10_000,
                    help="Halve content / double style weight every N steps (0=off)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="Average gradients over N micro-batches per optimizer "
+                        "update (large effective batch without the memory)")
     p.add_argument("--spatial", type=int, default=1,
                    help="Shard image HEIGHT over N chips for high-resolution "
                         "training (uses all devices on the 'space' axis)")
@@ -92,6 +95,7 @@ def main(argv=None) -> None:
         style_weight=args.style_weight,
         tv_weight=args.tv_weight,
         weight_decay_every=args.weight_decay_every,
+        grad_accum=args.grad_accum,
         content_tap=vgg_loss_layers["CONTENT_LAYER"],
         style_taps=tuple(vgg_loss_layers["STYLE_LAYERS"]),
         style_tap_weights=tuple(vgg_loss_layers["STYLE_LAYER_WEIGHTS"]),

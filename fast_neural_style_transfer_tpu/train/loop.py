@@ -57,6 +57,7 @@ class TrainConfig:
     style_weight: float = 1.0
     tv_weight: float = 10.0
     weight_decay_every: int = 10_000  # 0 disables the halving/doubling schedule
+    grad_accum: int = 1  # micro-batches averaged per optimizer update
 
     content_tap: str = "relu4_2"  # the reference *intended* relu4_2 (config.py:18)
     style_taps: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")
@@ -132,7 +133,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     )
 
     # stylizer + optimizer state, replicated over the mesh
-    optimizer = make_optimizer(cfg.lr, cfg.total_steps)
+    optimizer = make_optimizer(cfg.lr, cfg.total_steps, grad_accum=cfg.grad_accum)
     params = TransformerNet.init(jax.random.PRNGKey(cfg.seed))
     if cfg.init_checkpoint:
         from fast_neural_style_transfer_tpu.infer.stylize import Stylizer

@@ -35,13 +35,23 @@ def make_optimizer(
     weight_decay: float = 1e-5,
     clip_norm: float = 1.0,
     eta_min: float = 1e-7,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
-    return optax.chain(
+    """The reference's exact recipe, optionally wrapped in gradient
+    accumulation (``grad_accum`` micro-batches averaged per applied update —
+    large effective batches without the activation memory)."""
+    # the cosine advances once per APPLIED update; total_steps counts
+    # micro-steps, so convert for the schedule's horizon
+    applied_steps = max(total_steps // grad_accum, 1)
+    opt = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale_by_learning_rate(cosine_lr_schedule(lr, total_steps, eta_min)),
+        optax.scale_by_learning_rate(cosine_lr_schedule(lr, applied_steps, eta_min)),
     )
+    if grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum)
+    return opt
 
 
 def create_train_state(

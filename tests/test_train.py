@@ -169,3 +169,43 @@ def test_checkpoint_manager_roundtrip(tmp_path):
         restored.params,
     )
     mgr.close()
+
+
+def test_grad_accumulation_applies_every_k():
+    """With grad_accum=k, params stay fixed for k-1 micro-steps, then one
+    Adam update from the averaged gradients is applied."""
+    state, vgg, batch, grams, _, taps = _tiny_setup()
+    opt = make_optimizer(1e-3, 50, grad_accum=3)
+    state = create_train_state(TransformerNet.init(jax.random.PRNGKey(0)), opt)
+    step = make_train_step(opt, taps=taps, weight_schedule=LossWeightSchedule(),
+                           lr=1e-3, total_steps=50, donate=False)
+    p0 = jax.device_get(state.params)
+
+    def same(a, b):
+        return all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    state, _ = step(state, vgg, batch, grams, None)
+    state, _ = step(state, vgg, batch, grams, None)
+    assert same(p0, state.params)  # micro-steps 1-2: no update yet
+    state, _ = step(state, vgg, batch, grams, None)
+    assert not same(p0, state.params)  # 3rd micro-step applies the update
+
+
+def test_training_determinism_same_seed():
+    """Identical seeds and data give bit-identical params after N steps."""
+    def run():
+        state, vgg, batch, grams, step, _ = _tiny_setup()
+        rng = jax.random.PRNGKey(42)
+        for _ in range(3):
+            rng, k = jax.random.split(rng)
+            state, _ = step(state, vgg, batch, grams, k)
+        return jax.device_get(state.params)
+
+    a, b = run(), run()
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b,
+    )
