@@ -93,3 +93,10 @@ def test_drop_last_false_wraps_final_batch(image_dir):
     batches = list(pipe.host_batches(num_epochs=1))
     assert len(batches) == 3  # ceil(10/4), final batch wrap-filled
     assert all(b.shape == (4, 16, 16, 3) for b in batches)
+
+
+def test_device_batches_finite_epochs_terminate(image_dir):
+    ds = ImageFolderDataset(image_dir, (16, 16))
+    pipe = InputPipeline(ds, global_batch_size=4, num_workers=2)
+    batches = list(pipe.device_batches(num_epochs=2))
+    assert len(batches) == 4  # 2 per epoch (10 images, batch 4, drop_last)

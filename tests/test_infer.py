@@ -93,3 +93,27 @@ def test_begin_inference_cli_spatial(tmp_path):
     ])
     with Image.open(tmp_path / "sp.jpg") as im:
         assert im.size == (64, 96)
+
+
+def test_stylizer_from_reference_pth_checkpoint(tmp_path):
+    """Stylizer loads the reference's .pth checkpoint format directly."""
+    from fast_neural_style_transfer_tpu.export import save_torch_checkpoint
+
+    params = _params()
+    path = str(tmp_path / "ref_style.pth")
+    save_torch_checkpoint(params, path)
+    s = Stylizer.from_checkpoint(path)
+    x = np.random.default_rng(0).normal(size=(1, 32, 32, 3)).astype(np.float32)
+    direct = Stylizer(params)(x)
+    np.testing.assert_allclose(s(x), direct, rtol=1e-5, atol=1e-5)
+
+
+def test_stylizer_rejects_torchscript_archive(tmp_path):
+    import pytest
+
+    from fast_neural_style_transfer_tpu.export.torchscript import export_torchscript
+
+    path = str(tmp_path / "model_traced.pt")
+    export_torchscript(_params(), path, example_hw=32)
+    with pytest.raises(ValueError, match="TorchScript"):
+        Stylizer.from_checkpoint(path)

@@ -100,3 +100,13 @@ def test_loss_taps_content_not_in_style():
     feats = [jnp.full((1, 2, 2, 1), i) for i in range(4)]
     style_feats, content_feat = taps.split(feats)
     assert float(content_feat[0, 0, 0, 0]) == 3.0
+
+
+def test_reference_taps_reproduce_actual_reference_behavior():
+    """REFERENCE_TAPS selects relu4_3 for content — the index the reference
+    code actually used (losses/losses.py:49), vs the relu4_2 intent."""
+    from fast_neural_style_transfer_tpu.losses.perceptual import REFERENCE_TAPS
+
+    assert REFERENCE_TAPS.content_tap == "relu4_3"
+    assert REFERENCE_TAPS.style_taps == ("relu1_2", "relu2_2", "relu3_3")
+    assert REFERENCE_TAPS.all_taps == ("relu1_2", "relu2_2", "relu3_3", "relu4_3")
