@@ -37,8 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tv_weight", type=float,
                    default=loss_weights_config["TV_WEIGHT"],
                    help="Weight for total variation loss")
-    p.add_argument("--num_epochs", type=int, default=training_config["NUM_EPOCHS"],
-                   help="Accepted for reference parity; training is step-bounded")
+    p.add_argument("--num_epochs", type=int, default=None,
+                   help="Additional bound: stop after N dataset epochs "
+                        "(default: step-bounded only, the reference's actual "
+                        f"behavior — it accepted {training_config['NUM_EPOCHS']} "
+                        "but ignored it)")
     p.add_argument("--batch_size", type=int, default=training_config["BATCH_SIZE"],
                    help="GLOBAL batch size (split across the device mesh)")
     p.add_argument("--total_steps", type=int, default=training_config["TOTAL_STEPS"],
@@ -65,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="Training crop size (default: config TRAIN_IMAGE_SHAPE)")
+    p.add_argument("--content_tap", type=str, default=None,
+                   help="VGG19 content tap name (default: config CONTENT_LAYER "
+                        "= relu4_2, the reference's *intended* tap)")
+    p.add_argument("--reference_taps", action="store_true",
+                   help="Use the reference's *actual* effective taps (content "
+                        "= relu4_3 via its positional index 4) instead of its "
+                        "intended relu4_2 — exact loss-dynamics parity")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile_start", type=int, default=0,
                    help="Start a jax.profiler trace at this step")
@@ -87,6 +97,7 @@ def main(argv=None) -> None:
         vgg_weights=args.vgg_weights,
         monitor_image=args.training_monitor_content_image,
         total_steps=args.total_steps,
+        num_epochs=args.num_epochs,
         batch_size=args.batch_size,
         lr=args.lr,
         image_size=tuple(args.image_size) if args.image_size
@@ -96,7 +107,8 @@ def main(argv=None) -> None:
         tv_weight=args.tv_weight,
         weight_decay_every=args.weight_decay_every,
         grad_accum=args.grad_accum,
-        content_tap=vgg_loss_layers["CONTENT_LAYER"],
+        content_tap=args.content_tap
+        or ("relu4_3" if args.reference_taps else vgg_loss_layers["CONTENT_LAYER"]),
         style_taps=tuple(vgg_loss_layers["STYLE_LAYERS"]),
         style_tap_weights=tuple(vgg_loss_layers["STYLE_LAYER_WEIGHTS"]),
         precision=args.precision,

@@ -25,7 +25,11 @@ IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg")
 
 def scan_image_files(root: str) -> List[str]:
     files: List[str] = []
-    for dirpath, _, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        # sort the traversal itself, not just filenames: multi-host SPMD
+        # requires every process to derive the identical index->file mapping,
+        # and os.walk's directory order is filesystem-dependent
+        dirnames.sort()
         for fn in sorted(filenames):
             if fn.lower().endswith(IMAGE_EXTENSIONS):
                 files.append(os.path.join(dirpath, fn))

@@ -114,15 +114,28 @@ class InputPipeline:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Enqueue, re-checking stop so a consumer that exits early
+            (total_steps bound, SIGTERM) never leaves this thread — and its
+            prefetched device-resident batches — blocked on a full queue."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for hb in self.host_batches(num_epochs):
                     if stop.is_set():
                         return
-                    q.put(self._to_device(hb))
-                q.put(_SENTINEL)
+                    if not put(self._to_device(hb)):
+                        return
+                put(_SENTINEL)
             except BaseException as e:  # surface worker failure to consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

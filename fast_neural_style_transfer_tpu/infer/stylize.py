@@ -91,7 +91,10 @@ class Stylizer:
         return np.asarray(out[:, :h, :w, :])
 
     def stylize(self, image: np.ndarray) -> np.ndarray:
-        """[0,1]-or-normalized (H,W,3)/(N,H,W,3) float -> [0,1] stylized."""
+        """Network-space (ImageNet-normalized) (H,W,3)/(N,H,W,3) float in ->
+        [0,1] stylized out. Use ``utils.image_io.normalize_image``/
+        ``load_image`` to produce network-space input; feeding raw [0,1] here
+        would reproduce the reference's inference preprocessing defect (#7)."""
         if image.ndim == 3:
             out = self.stylize(image[None])
             return out[0]

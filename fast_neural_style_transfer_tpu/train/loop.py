@@ -49,6 +49,9 @@ class TrainConfig:
     monitor_image: Optional[str] = None
 
     total_steps: int = 80_000
+    # optional additional bound: stop after N dataset epochs (the reference
+    # accepted --num_epochs but ignored it — defect ledger; None = unbounded)
+    num_epochs: Optional[int] = None
     batch_size: int = 20  # GLOBAL batch (split over the data mesh axis)
     lr: float = 1e-3
     image_size: Tuple[int, int] = (256, 256)
@@ -169,6 +172,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             precision=prec,
             lr=cfg.lr,
             total_steps=cfg.total_steps,
+            grad_accum=cfg.grad_accum,
         )
     else:
         train_step = make_train_step(
@@ -178,6 +182,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             precision=prec,
             lr=cfg.lr,
             total_steps=cfg.total_steps,
+            grad_accum=cfg.grad_accum,
         )
     eval_forward = make_eval_forward(precision=prec)
 
@@ -225,7 +230,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     profiling = False
     step = start_step
     try:
-        for batch in pipeline.device_batches():
+        for batch in pipeline.device_batches(cfg.num_epochs):
             if step >= cfg.total_steps or stop_requested.is_set():
                 break
             if cfg.profile_stop > cfg.profile_start:

@@ -117,14 +117,18 @@ def make_spatial_train_step(
     precision: Precision = Precision.f32(),
     lr: float = 1e-3,
     total_steps: int = 80_000,
+    grad_accum: int = 1,
     donate: bool = True,
 ) -> Callable:
     """Build the jitted H-sharded ``step(state, vgg_params, batch_global,
     style_grams, rng)``. ``batch_global`` is the full-resolution NHWC batch,
-    sharded (or shardable) as P(None, 'space', None, None) on the mesh."""
+    sharded (or shardable) as P(None, 'space', None, None) on the mesh.
+
+    Step unit matches make_train_step: schedules are functions of APPLIED
+    optimizer updates (``state.step // grad_accum``)."""
     if AXIS not in plan.mesh.axis_names:
         raise ValueError("mesh has no 'space' axis; build with make_mesh_plan(spatial=N)")
-    lr_fn = cosine_lr_schedule(lr, total_steps)
+    lr_fn = cosine_lr_schedule(lr, max(total_steps // grad_accum, 1))
     # 2-D mesh: the batch dim additionally shards over 'data'; loss sums
     # then psum over it too (instance norm and halos stay 'space'-only —
     # they never cross samples)
@@ -155,7 +159,8 @@ def make_spatial_train_step(
     )
 
     def step_fn(state: TrainState, vgg_params, batch, style_grams, rng):
-        weights = weight_schedule(state.step)
+        applied_step = state.step // grad_accum
+        weights = weight_schedule(applied_step)
         grads, metrics = mapped(
             state.params, vgg_params, batch, style_grams, weights, rng
         )
@@ -169,7 +174,7 @@ def make_spatial_train_step(
         new_opt_state = select(new_opt_state, state.opt_state)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
-        metrics["lr"] = lr_fn(state.step)
+        metrics["lr"] = lr_fn(applied_step)
         metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return TrainState(new_params, new_opt_state, state.step + 1), metrics
 

@@ -94,14 +94,24 @@ def make_train_step(
     precision: Precision = Precision.f32(),
     lr: float = 1e-3,
     total_steps: int = 80_000,
+    grad_accum: int = 1,
     donate: bool = True,
 ) -> Callable:
     """Build the jitted ``step(state, vgg_params, batch, style_grams, rng)``.
 
     ``vgg_params``/``style_grams`` are traced arguments (not baked constants)
     so one compilation serves any style image and any VGG weights.
+
+    Step unit: every schedule (cosine LR and the loss-weight halving/doubling)
+    is a function of APPLIED optimizer updates. ``state.step`` counts
+    micro-steps; with ``grad_accum`` micro-batches per update the applied
+    count is ``state.step // grad_accum`` over a ``total_steps // grad_accum``
+    horizon — exactly the horizon ``make_optimizer`` gives its own cosine, so
+    the logged ``metrics["lr"]`` equals the LR the optimizer applies
+    (regression-tested in tests/test_train.py).
     """
-    lr_schedule = cosine_lr_schedule(lr, total_steps)
+    applied_horizon = max(total_steps // grad_accum, 1)
+    lr_schedule = cosine_lr_schedule(lr, applied_horizon)
 
     def step_fn(
         state: TrainState,
@@ -110,7 +120,8 @@ def make_train_step(
         style_grams: Tuple[jnp.ndarray, ...],
         rng: jax.Array,
     ):
-        weights = weight_schedule(state.step)
+        applied_step = state.step // grad_accum
+        weights = weight_schedule(applied_step)
         grads, metrics = jax.grad(
             functools.partial(loss_fn, taps=taps, precision=precision),
             has_aux=True,
@@ -131,7 +142,7 @@ def make_train_step(
 
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
-        metrics["lr"] = lr_schedule(state.step)
+        metrics["lr"] = lr_schedule(applied_step)
         metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         new_state = TrainState(
             params=new_params, opt_state=new_opt_state, step=state.step + 1

