@@ -27,6 +27,19 @@ from jax import lax
 DIMS = ("NHWC", "HWIO", "NHWC")
 
 
+def reflect_pad_hw(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-pad H and W of an NHWC batch by ``pad`` on each side.
+
+    jnp.pad('reflect') it is: a strip-sized reversed-slice + concat variant
+    was built and TRACED SLOWER on v5e (b20 train step 89.9 vs 88.9 ms —
+    XLA's pad/reverse fusions beat the concat chain; the 'reverse' HLO time
+    did not even drop). Keeping the one-liner.
+    """
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
 def _conv(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -74,21 +87,34 @@ def reflect_conv2d(
     - "auto": s2d on TPU for k=9 with stride 1 or 2, direct otherwise.
     """
     k = w.shape[0]
-    if lowering not in ("auto", "direct", "s2d"):
+    if lowering not in ("auto", "direct", "s2d", "same_delta"):
         raise ValueError(f"unknown conv lowering {lowering!r}")
-    use_s2d = lowering == "s2d" or (
-        lowering == "auto"
-        and k == 9
-        and stride in (1, 2)
-        and jax.default_backend() == "tpu"
-        and x.shape[1] % 4 == 0
-        and x.shape[2] % 4 == 0
-    )
+    if lowering == "same_delta":
+        if k != 3 or stride != 1:
+            raise ValueError("same_delta lowering implemented for k3/s1 only")
+        return _reflect_conv2d_same_delta(x, w, b, accum_dtype=accum_dtype)
+    use_s2d = lowering == "s2d"
+    if lowering == "auto" and jax.default_backend() == "tpu":
+        hp, wp = x.shape[1] + 2 * (k // 2), x.shape[2] + 2 * (k // 2)
+        if k == 9 and stride in (1, 2) and hp % 4 == 0 and wp % 4 == 0:
+            use_s2d = True  # tiny-channel 9x9s: 9.8x on the final conv
+        elif (k == 3 and stride == 1 and x.shape[0] >= 4
+              and x.shape[1] >= 4 and x.shape[2] >= 4):
+            # res-block convs at TRAINING batch sizes: zero-pad SAME +
+            # border-delta strips beats a materialized reflect pad — measured
+            # 89.2 -> 83.4 ms on the b20 bf16 train step (v5e), the pad
+            # fusions and their slice+add adjoints being pure memory traffic.
+            # At batch 1 (inference) the extra strip-conv launches LOSE
+            # (p50 0.80 -> 1.34 ms), hence the N >= 4 gate.
+            return _reflect_conv2d_same_delta(x, w, b, accum_dtype=accum_dtype)
+        # NOT k3/s2 (encoder conv2): the s2d(2) form was traced at +1.0 ms
+        # on the b20 train step (layout copies outweigh the denser dx conv);
+        # it remains reachable via lowering="s2d".
     if use_s2d:
         return _reflect_conv2d_s2d(x, w, b, stride=stride, accum_dtype=accum_dtype)
     pad = k // 2
     if pad:
-        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        x = reflect_pad_hw(x, pad)
     out = _conv(x, w, stride, "VALID", accum_dtype=accum_dtype)
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -169,8 +195,17 @@ def _reflect_conv2d_s2d(
             f"s2d factor {s} incompatible with stride={stride}, padded dims "
             f"({hp}, {wp})"
         )
+    xp = reflect_pad_hw(x, pad)
+    out = _s2d_conv_padded(xp, w, stride, s, accum_dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _s2d_conv_padded(xp, w, stride, s, accum_dtype):
+    """Core s2d conv on an already-padded NHWC input (any pad mode)."""
+    n, hp, wp, c = xp.shape
     p = s // stride
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     # one split/merge per reshape: sharding propagation (sharded batch dim)
     # rejects reshapes that split or merge multiple axes at once
     xs = xp.reshape(n, hp // s, s, wp, c)
@@ -178,7 +213,7 @@ def _reflect_conv2d_s2d(
     xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5))
     xs = xs.reshape(n, hp // s, wp // s, s, s * c)
     xs = xs.reshape(n, hp // s, wp // s, s * s * c)
-    w2 = _s2d_kernel(w, s, stride).astype(x.dtype)
+    w2 = _s2d_kernel(w, s, stride).astype(xp.dtype)
     out = _conv(xs, w2, 1, "VALID", accum_dtype=accum_dtype)
     c_out = w.shape[3]
     if p > 1:
@@ -188,6 +223,122 @@ def _reflect_conv2d_s2d(
         out = jnp.transpose(out, (0, 1, 3, 2, 4, 5))
         out = out.reshape(n, ho * p, wo, p, c_out)
         out = out.reshape(n, ho * p, wo * p, c_out)
+    return out
+
+
+def _conv2d_same_s2d_s1(x, w, *, s: int = 4, accum_dtype=jnp.float32):
+    """Zero-pad SAME, stride-1, odd-k conv via space-to-depth(s).
+
+    Built for *gradient* convs whose tiny output-channel count otherwise
+    wastes the 128-lane MXU (e.g. d(loss)/d(stylized) through VGG conv1_1 is
+    a 64->3 conv at 256^2 — measured 6.0 ms/step of the b20 train step under
+    the direct lowering). Alignment padding goes on the high side (zeros,
+    beyond the SAME window) and the output is sliced back to (h, w).
+    """
+    k = w.shape[0]
+    pad = k // 2
+    n, h, wd, c = x.shape
+    # coarse kernel span (stride 1, p=s output phases): ceil((k + s - 1) / s)
+    kp = -(-(k + s - 1) // s)
+    fine_span = (kp - 1) * s  # fine_out = hp - fine_span
+
+    def hi_pad(dim):
+        e = max(0, fine_span - 2 * pad)
+        while (dim + 2 * pad + e) % s:
+            e += 1
+        return pad + e
+
+    xp = jnp.pad(x, ((0, 0), (pad, hi_pad(h)), (pad, hi_pad(wd)), (0, 0)))
+    out = _s2d_conv_padded(xp, w, 1, s, accum_dtype)
+    return out[:, :h, :wd, :]
+
+
+def _conv2d_same_direct(x, w, b, stride, accum_dtype):
+    k = w.shape[0]
+    pad = k // 2
+    out = _conv(x, w, stride, ((pad, pad), (pad, pad)), accum_dtype=accum_dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+@jax.custom_vjp
+def _conv2d_same_smallc(x, w, b):
+    """k3/s1 SAME conv whose INPUT has <=4 channels (VGG conv1_1) with an
+    s2d-lowered d(out)/d(x) — a NEGATIVE result kept as an opt-in.
+
+    Motivation: XLA's default dx here is a 64->3-channel conv (3/128 MXU
+    lanes) that showed as a 6.0 ms fusion in the b20 train-step trace. The
+    s2d form folds output phases into channels (N=48) — but measured WORSE
+    in context on v5e (10.3 vs 7.4 ms for a conv1_1+relu+conv grad chain,
+    both s=4 and s=2): the saved MXU time is repaid in pad + layout-copy
+    HLOs transforming the 168 MB 64-channel gradient, and XLA loses the
+    fusion that computed db/clamp masks inside the big dx fusion. dw/db use
+    the standard adjoints (DCE'd entirely when VGG is frozen).
+    """
+    return _conv2d_same_direct(x, w, b, 1, jnp.float32)
+
+
+def _conv2d_same_smallc_fwd(x, w, b):
+    return _conv2d_same_smallc(x, w, b), (x, w, b)
+
+
+def _conv2d_same_smallc_bwd(res, g):
+    x, w, b = res
+    # dx: correlate g with the io-swapped, spatially flipped kernel — an
+    # equal-FLOP conv whose output channels = C_in; s2d keeps the MXU fed
+    wT = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv2d_same_s2d_s1(g, wT).astype(x.dtype)
+    # dw: conv is linear in w; transpose without re-running the forward
+    (dw,) = jax.linear_transpose(
+        lambda w_: _conv(x, w_, 1, ((1, 1), (1, 1))), w
+    )(g.astype(x.dtype))
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dw.astype(w.dtype), db.astype(b.dtype)
+
+
+_conv2d_same_smallc.defvjp(_conv2d_same_smallc_fwd, _conv2d_same_smallc_bwd)
+
+
+def _reflect_conv2d_same_delta(x, w, b, *, accum_dtype=jnp.float32):
+    """k3/s1 reflect conv as zero-pad SAME conv + exact border corrections.
+
+    A materialized reflect pad costs a full read+write of the activation per
+    conv (and a slice+add chain in its adjoint); zero padding is free inside
+    ``conv_general_dilated``. The difference between the two pads lives only
+    on the 1-px pad ring, whose contribution to the output is confined to
+    the 1-px output border — computed here with four strip convs (1xW / Hx1)
+    and added in place. Exact: ring = reflect-pad minus zero-pad, partitioned
+    into top/bottom rows (full width, reflect-padded corners) and left/right
+    columns (rows 1..H-2 only, zero-padded ends), so every ring cell is
+    counted once. Autodiff never sees a reflect-pad adjoint.
+    """
+    n, h, wd, c = x.shape
+    out = _conv(x, w, 1, ((1, 1), (1, 1)), accum_dtype=accum_dtype)
+
+    def hstrip(row_src, wrow):
+        # ring ROW cells (incl. both corners): reflect row ``row_src``,
+        # corners reflect both dims -> extend the strip with its own
+        # index-1 / index-(W-2) values; affects one full output row
+        r = x[:, row_src, :, :]  # (n, W, c)
+        r = jnp.concatenate([r[:, 1:2], r, r[:, -2:-1]], axis=1)  # (n, W+2, c)
+        return _conv(r[:, None, :, :],  # (n, 1, W+2, c)
+                     wrow[None], 1, "VALID", accum_dtype=accum_dtype)[:, 0]
+
+    def vstrip(col_src, wcol):
+        # ring COLUMN cells excluding the corner cells (those belong to the
+        # row strips): padded rows 1..H map to x rows 0..H-1; zero-pad the
+        # strip ends so border outputs get only their in-partition taps.
+        # Affects one full output column.
+        s = x[:, :, col_src, :]  # (n, H, c)
+        s = jnp.pad(s, ((0, 0), (1, 1), (0, 0)))  # (n, H+2, c)
+        return _conv(s[:, :, None, :], wcol[:, None], 1, "VALID",
+                     accum_dtype=accum_dtype)[:, :, 0]
+
+    out = out.at[:, 0, :, :].add(hstrip(1, w[0]).astype(out.dtype))
+    out = out.at[:, h - 1, :, :].add(hstrip(h - 2, w[2]).astype(out.dtype))
+    out = out.at[:, :, 0, :].add(vstrip(1, w[:, 0]).astype(out.dtype))
+    out = out.at[:, :, wd - 1, :].add(vstrip(wd - 2, w[:, 2]).astype(out.dtype))
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
@@ -200,14 +351,24 @@ def conv2d_same(
     *,
     stride: int = 1,
     accum_dtype=jnp.float32,
+    lowering: str = "direct",
 ) -> jnp.ndarray:
-    """Zero-padded conv with PyTorch ``padding=k//2`` semantics (VGG convs)."""
+    """Zero-padded conv with PyTorch ``padding=k//2`` semantics (VGG convs).
+
+    ``lowering="smallc_s2d"`` opts into the s2d-gradient custom VJP for
+    k3/s1/C_in<=4 — measured slower in context (see _conv2d_same_smallc).
+    """
     k = w.shape[0]
-    pad = k // 2
-    out = _conv(x, w, stride, ((pad, pad), (pad, pad)), accum_dtype=accum_dtype)
-    if b is not None:
-        out = out + b.astype(out.dtype)
-    return out
+    if (
+        lowering == "smallc_s2d"
+        and k == 3
+        and stride == 1
+        and w.shape[2] <= 4
+        and b is not None
+        and jnp.dtype(accum_dtype) == jnp.float32
+    ):
+        return _conv2d_same_smallc(x, w, b)
+    return _conv2d_same_direct(x, w, b, stride, accum_dtype)
 
 
 def conv_transpose2d(
@@ -306,8 +467,7 @@ def _conv_transpose_subpixel(
     return out
 
 
-def max_pool2d(x: jnp.ndarray, *, window: int = 2, stride: int = 2) -> jnp.ndarray:
-    """VALID max pool (VGG pool layers: 2x2 stride 2)."""
+def _reduce_window_max(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
     return lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
@@ -316,3 +476,63 @@ def max_pool2d(x: jnp.ndarray, *, window: int = 2, stride: int = 2) -> jnp.ndarr
         window_strides=(1, stride, stride, 1),
         padding="VALID",
     )
+
+
+def _up2(y: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2x upsample NHWC (broadcast, no gather)."""
+    n, h, w, c = y.shape
+    y = jnp.broadcast_to(y[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return y.reshape(n, 2 * h, w, 2, c).reshape(n, 2 * h, 2 * w, c)
+
+
+@jax.custom_vjp
+def _max_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return _reduce_window_max(x, 2, 2)
+
+
+def _max_pool2x2_fwd(x):
+    y = _reduce_window_max(x, 2, 2)
+    return y, (x, y)
+
+
+def _max_pool2x2_bwd(res, g):
+    # XLA's default max-pool gradient is select-and-scatter — measured 3.4 ms
+    # for ONE (20,256,256,64) bf16 pool backward on v5e. The mask form below
+    # is a handful of VPU/bandwidth passes (~0.5 ms): route the output grad to
+    # every input equal to the window max, split evenly among ties. (PyTorch
+    # routes tied gradients to the first argmax index; ties are exact float
+    # equalities — e.g. post-ReLU zeros — where the even split is the cleaner
+    # subgradient and has the same expectation.)
+    x, y = res
+    n, h, w, c = x.shape
+    he, we = 2 * (h // 2), 2 * (w // 2)
+    xe = x[:, :he, :we, :]
+    mask = (xe == _up2(y)).astype(jnp.float32)
+    ties = lax.reduce_window(
+        mask, 0.0, lax.add,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+    dx = mask * _up2(g.astype(jnp.float32) / ties)
+    if (he, we) != (h, w):  # odd trailing row/col never entered the pool
+        dx = jnp.pad(dx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
+    return (dx.astype(x.dtype),)
+
+
+_max_pool2x2.defvjp(_max_pool2x2_fwd, _max_pool2x2_bwd)
+
+
+def max_pool2d(
+    x: jnp.ndarray, *, window: int = 2, stride: int = 2, grad: str = "default"
+) -> jnp.ndarray:
+    """VALID max pool (VGG pool layers: 2x2 stride 2).
+
+    ``grad="mask"`` (2x2/2 only) swaps XLA's select-and-scatter gradient for
+    a mask-based VJP. Measured on v5e b20 bf16: the mask form is SLOWER in
+    isolation (8.7 vs 5.0 ms fwd+bwd at 256^2x64) and select-and-scatter is
+    only ~1.5 ms/step of the b20 train step in context, so the default stays
+    XLA's. Kept as an opt-in template (negative result, like ops/pallas_norm).
+    """
+    if grad == "mask" and window == 2 and stride == 2:
+        return _max_pool2x2(x)
+    return _reduce_window_max(x, window, stride)

@@ -1,44 +1,64 @@
-"""Pallas TPU kernel: fused instance norm + affine (+ optional ReLU).
+"""Pallas TPU kernels: fused instance norm + affine (+ optional ReLU), fwd+bwd.
 
-Instance norm is the stylizer's most HBM-bound op: XLA lowers it as a
-reduce (read x), then a normalize/affine elementwise (read x again, write y),
-and fuses the following ReLU separately per layer. This kernel does the
-two passes entirely out of VMEM — one HBM read of the (H, W, C) slab per
-sample, stats + normalize + affine + ReLU on the VPU, one HBM write — and is
-exposed through the same ``instance_norm`` signature (ops/norm.py) with a
-custom VJP so it trains.
+Instance norm is the stylizer's most HBM-bound op. The b20 bf16 train-step
+trace (round 2) shows XLA lowering it as separate stat-reduce fusions
+(~0.7 ms per 42 MB res-block activation — ~60 GB/s, far under HBM bandwidth)
+plus apply/backward loop fusions: ~10 ms/step across the network's 14 INs.
+These kernels do each pass out of VMEM:
 
-Layout: NHWC with the channel dim on lanes (C is a multiple of 32 for every
-stylizer layer except the 3-channel output, which never hits IN). Grid is
-(N,) — one program per sample, whole spatial slab in VMEM; callers gate on
-``fits_vmem`` and fall back to the XLA path for oversized activations
-(large-image inference).
+- forward: one HBM read of the slab, stats + normalize + affine + ReLU on the
+  VPU, one HBM write — and emit (mean, inv) as residuals so the backward
+  never recomputes statistics;
+- backward: one read of (x, g), the two gradient reductions and the dx
+  elementwise chain in VMEM, one write of dx, per-sample dgamma/dbeta rows
+  (summed over batch outside, where it is a (N, C) -> (C,) triviality).
+
+Grid is (N, C/Cb): instance-norm statistics are per-(sample, channel), so the
+channel dim splits freely — keeping every block <= ~2 MB so double-buffered
+in/out slabs and f32 temporaries fit VMEM at any batch size. Callers gate on
+``fits_vmem`` and fall back to the XLA path for oversized slabs (e.g. the
+256^2x32 decoder IN, whose channel dim cannot split).
 
 Matches PyTorch InstanceNorm2d(affine=True) numerics: biased variance,
 eps=1e-5, f32 statistics (reference /root/reference/models/model.py:29-44).
+The ReLU is fused by gating the backward cotangent on the pre-ReLU sign
+(reconstructed from xhat — no need to save y).
+
+Round-1 note (kept for the record): at batch-1 INFERENCE the XLA path is
+faster (1.65 vs 2.99 ms whole-forward) because XLA fuses IN into the conv
+epilogue when the batch is small; at batch-20 TRAINING the stat reduces are
+NOT conv-fused and this kernel wins. ``instance_norm(method="auto")`` in
+ops/norm.py picks per case.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM is ~16 MB/core; the in + out slabs are double-buffered by the
-# pipeline, so keep each slab small enough that 4 copies + temporaries fit.
-_VMEM_SLAB_LIMIT_BYTES = 2 * 1024 * 1024
+# Per-block slab budget: in + out slabs are double-buffered by the pipeline
+# and the bwd kernel holds x, g and dx plus f32 temporaries. 2 MB blocks
+# OOM'd VMEM by 2 KB in the bwd kernel on v5e (x+g+dx double-buffered + f32
+# temps = 16 MB); 1 MB leaves headroom.
+_VMEM_SLAB_LIMIT_BYTES = 1024 * 1024
+
+
+def _block_channels(c: int) -> int:
+    """Channel-block size: split multiples of 128 onto the lane width."""
+    return 128 if c % 128 == 0 else c
 
 
 def fits_vmem(h: int, w: int, c: int, itemsize: int = 2) -> bool:
-    return h * w * c * itemsize <= _VMEM_SLAB_LIMIT_BYTES
+    return h * w * _block_channels(c) * itemsize <= _VMEM_SLAB_LIMIT_BYTES
 
 
-def _in_fwd_kernel(x_ref, gamma_ref, beta_ref, y_ref, *, eps: float, relu: bool):
-    x = x_ref[0]  # (H, W, C), stays in its storage dtype
+def _in_fwd_kernel(x_ref, gamma_ref, beta_ref, y_ref, mean_ref, inv_ref,
+                   *, eps: float, relu: bool):
+    x = x_ref[0]  # (H, W, Cb), stays in its storage dtype
     hw = x.shape[0] * x.shape[1]
     # f32 accumulation WITHOUT materializing an f32 copy of the slab:
     # mean from a dtype-widening sum, variance via E[x^2] - mean^2.
@@ -53,31 +73,34 @@ def _in_fwd_kernel(x_ref, gamma_ref, beta_ref, y_ref, *, eps: float, relu: bool)
     if relu:
         y = jnp.maximum(y, 0.0)
     y_ref[0] = y.astype(y_ref.dtype)
+    mean_ref[0, 0] = mean[0, 0]
+    inv_ref[0, 0] = inv[0, 0]
 
 
-def _pallas_in_forward(
-    x: jnp.ndarray,
-    gamma: jnp.ndarray,
-    beta: jnp.ndarray,
-    *,
-    eps: float,
-    relu: bool,
-    interpret: bool = False,
-) -> jnp.ndarray:
+def _pallas_in_forward(x, gamma, beta, *, eps, relu, interpret=False):
     n, h, w, c = x.shape
+    cb = _block_channels(c)
     kernel = functools.partial(_in_fwd_kernel, eps=eps, relu=relu)
+    slab = lambda i, j: (i, 0, 0, j)
+    row = lambda i, j: (i, 0, j)
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, c // cb),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, cb), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, h, w, cb), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), row, memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=10 * n * h * w * c,
@@ -85,6 +108,72 @@ def _pallas_in_forward(
             transcendentals=n * c,
         ),
     )(x, gamma.reshape(1, 1, c), beta.reshape(1, 1, c))
+
+
+def _in_bwd_kernel(x_ref, g_ref, mean_ref, inv_ref, gamma_ref, beta_ref,
+                   dx_ref, dgn_ref, dbn_ref, *, relu: bool):
+    """Per-(sample, channel-block) IN backward, stats from fwd residuals.
+
+    With xhat = (x - mean) * inv:
+      dx     = gamma * inv * (g - mean(g) - xhat * mean(g * xhat))
+      dgamma = sum_hw(g * xhat)   (per sample; summed over N by the caller)
+      dbeta  = sum_hw(g)
+    The fused-ReLU mask is y > 0 <=> xhat * gamma + beta > 0 — reconstructed
+    instead of saving y.
+    """
+    x = x_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    hw = x.shape[0] * x.shape[1]
+    mean = mean_ref[0, 0][None, None, :]
+    inv = inv_ref[0, 0][None, None, :]
+    gamma = gamma_ref[0, 0].astype(jnp.float32)[None, None, :]
+    xhat = (x.astype(jnp.float32) - mean) * inv
+    if relu:
+        beta = beta_ref[0, 0].astype(jnp.float32)[None, None, :]
+        g = jnp.where(xhat * gamma + beta > 0, g, 0.0)
+    g_sum = jnp.sum(g, axis=(0, 1), keepdims=True)
+    gx_sum = jnp.sum(g * xhat, axis=(0, 1), keepdims=True)
+    dx = (gamma * inv) * (g - g_sum / hw - xhat * (gx_sum / hw))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dgn_ref[0, 0] = gx_sum[0, 0]
+    dbn_ref[0, 0] = g_sum[0, 0]
+
+
+def _pallas_in_backward(x, g, mean, inv, gamma, beta, *, relu, interpret=False):
+    n, h, w, c = x.shape
+    cb = _block_channels(c)
+    kernel = functools.partial(_in_bwd_kernel, relu=relu)
+    slab = lambda i, j: (i, 0, 0, j)
+    row = lambda i, j: (i, 0, j)
+    vec = lambda i, j: (0, 0, j)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, c // cb),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cb), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, cb), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), vec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w, cb), slab, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n * h * w * c,
+            bytes_accessed=3 * x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, g, mean, inv, gamma.reshape(1, 1, c), beta.reshape(1, 1, c))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -97,40 +186,27 @@ def fused_instance_norm(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused IN(+ReLU), differentiable; NHWC in/out, f32 stats."""
-    return _pallas_in_forward(x, gamma, beta, eps=eps, relu=relu, interpret=interpret)
+    y, _, _ = _pallas_in_forward(x, gamma, beta, eps=eps, relu=relu,
+                                 interpret=interpret)
+    return y
 
 
 def _fused_in_fwd(x, gamma, beta, eps, relu, interpret):
-    y = _pallas_in_forward(x, gamma, beta, eps=eps, relu=relu, interpret=interpret)
-    return y, (x, gamma, y)
+    y, mean, inv = _pallas_in_forward(x, gamma, beta, eps=eps, relu=relu,
+                                      interpret=interpret)
+    return y, (x, gamma, beta, mean, inv)
 
 
 def _fused_in_bwd(eps, relu, interpret, res, g):
-    """Standard IN backward (XLA; the matmul-free math fuses well already).
-
-    With xhat=(x-mu)*inv: dx = gamma*inv * (g - mean(g) - xhat*mean(g*xhat)),
-    dgamma = sum_nhw(g*xhat), dbeta = sum_nhw(g). For the fused ReLU, the
-    output y>0 mask gates the incoming cotangent first.
-    """
-    x, gamma, y = res
-    xf = x.astype(jnp.float32)
-    g = g.astype(jnp.float32)
-    if relu:
-        g = jnp.where(y > 0, g, 0.0)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=(1, 2), keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    xhat = xc * inv
-    g_mean = jnp.mean(g, axis=(1, 2), keepdims=True)
-    gx_mean = jnp.mean(g * xhat, axis=(1, 2), keepdims=True)
-    dx = gamma.astype(jnp.float32) * inv * (g - g_mean - xhat * gx_mean)
-    dgamma = jnp.sum(g * xhat, axis=(0, 1, 2))
-    dbeta = jnp.sum(g, axis=(0, 1, 2))
+    x, gamma, beta, mean, inv = res
+    dx, dgn, dbn = _pallas_in_backward(
+        x, g.astype(x.dtype), mean, inv, gamma, beta,
+        relu=relu, interpret=interpret,
+    )
     return (
-        dx.astype(x.dtype),
-        dgamma.astype(gamma.dtype),
-        dbeta.astype(gamma.dtype),
+        dx,
+        jnp.sum(dgn, axis=(0, 1)).astype(gamma.dtype),
+        jnp.sum(dbn, axis=(0, 1)).astype(beta.dtype),
     )
 
 

@@ -201,6 +201,161 @@ def test_reflect_conv2d_s2d_adaptive_factor_and_errors(rng):
         _reflect_conv2d_s2d(x_odd, w, None, stride=2)
 
 
+def test_reflect_pad_hw_matches_jnp_pad(rng):
+    from fast_neural_style_transfer_tpu.ops.conv import reflect_pad_hw
+
+    x = jnp.asarray(rng.standard_normal((2, 9, 7, 3), dtype=np.float32))
+    for pad in (1, 2, 4):
+        want = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        np.testing.assert_array_equal(np.asarray(reflect_pad_hw(x, pad)),
+                                      np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(reflect_pad_hw(x, 0)), np.asarray(x))
+
+
+@pytest.mark.parametrize("k,cin,cout,h,w", [
+    (3, 64, 3, 32, 32),   # VGG conv1_1 dx shape family (s2d-aligned)
+    (3, 8, 3, 30, 26),    # dims needing alignment padding
+    (3, 5, 2, 17, 19),    # odd everything
+    (9, 8, 3, 24, 24),    # k9 s1 (final-conv dx family)
+])
+def test_conv2d_same_s2d_s1_matches_direct(rng, k, cin, cout, h, w):
+    """Zero-pad SAME s2d lowering (gradient-conv path) == direct conv."""
+    from fast_neural_style_transfer_tpu.ops.conv import (
+        _conv2d_same_direct,
+        _conv2d_same_s2d_s1,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((k, k, cin, cout), dtype=np.float32) * 0.1)
+    want = _conv2d_same_direct(x, wt, None, 1, jnp.float32)
+    got = _conv2d_same_s2d_s1(x, wt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_same_smallc_custom_vjp_matches_default(rng):
+    """The small-C_in custom VJP (s2d dx) must equal XLA's default gradients
+    in value AND in all three cotangents."""
+    from fast_neural_style_transfer_tpu.ops.conv import (
+        _conv2d_same_direct,
+        _conv2d_same_smallc,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 20, 24, 3), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, 16), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(_conv2d_same_smallc(x, wt, b)),
+        np.asarray(_conv2d_same_direct(x, wt, b, 1, jnp.float32)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    def loss(fn):
+        return lambda x_, w_, b_: jnp.sum(jnp.sin(fn(x_, w_, b_)))
+
+    g_custom = jax.grad(loss(_conv2d_same_smallc), argnums=(0, 1, 2))(x, wt, b)
+    g_direct = jax.grad(
+        loss(lambda a, c, d: _conv2d_same_direct(a, c, d, 1, jnp.float32)),
+        argnums=(0, 1, 2),
+    )(x, wt, b)
+    for got, want in zip(g_custom, g_direct):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_reflect_conv2d_k3s2_s2d_matches_direct(rng):
+    """The widened auto rule's k3/s2 s2d form (encoder conv2): forward and
+    gradients equal the direct lowering."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+    d = reflect_conv2d(x, w, b, stride=2, lowering="direct")
+    s = reflect_conv2d(x, w, b, stride=2, lowering="s2d")
+    np.testing.assert_allclose(np.asarray(s), np.asarray(d), rtol=1e-4, atol=1e-4)
+
+    def loss(lowering):
+        return lambda w_, x_: jnp.sum(
+            jnp.sin(reflect_conv2d(x_, w_, None, stride=2, lowering=lowering))
+        )
+
+    gd = jax.grad(loss("direct"), argnums=(0, 1))(w, x)
+    gs = jax.grad(loss("s2d"), argnums=(0, 1))(w, x)
+    for a, b_ in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("h,w,cin,cout", [
+    (8, 8, 4, 6), (9, 7, 3, 5), (16, 12, 8, 8), (4, 5, 2, 3),
+])
+def test_reflect_conv2d_same_delta_matches_direct(rng, h, w, cin, cout):
+    """Zero-pad-SAME + border-delta lowering (the b20 train-step win):
+    forward and both gradients equal the direct reflect conv."""
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+    d = reflect_conv2d(x, wt, b, stride=1, lowering="direct")
+    s = reflect_conv2d(x, wt, b, stride=1, lowering="same_delta")
+    np.testing.assert_allclose(np.asarray(s), np.asarray(d), rtol=1e-4, atol=1e-5)
+
+    def loss(lowering):
+        return lambda w_, x_: jnp.sum(
+            jnp.sin(reflect_conv2d(x_, w_, None, stride=1, lowering=lowering))
+        )
+
+    gd = jax.grad(loss("direct"), argnums=(0, 1))(wt, x)
+    gs = jax.grad(loss("same_delta"), argnums=(0, 1))(wt, x)
+    for a, b_ in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_same_delta_works_with_sharded_batch(rng):
+    """The border .at[].add updates must compose with a device-sharded batch
+    (DP training shards N; the update slices only H/W)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+    plan = make_mesh_plan()
+    x = jnp.asarray(rng.standard_normal((8, 12, 12, 4), dtype=np.float32))
+    xs = jax.device_put(x, NamedSharding(plan.mesh, P("data", None, None, None)))
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 4), dtype=np.float32) * 0.1)
+    fwd = jax.jit(lambda v: reflect_conv2d(v, w, None, stride=1, lowering="same_delta"))
+    np.testing.assert_allclose(
+        np.asarray(fwd(xs)),
+        np.asarray(reflect_conv2d(x, w, None, stride=1, lowering="direct")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_max_pool_custom_grad_matches_torch(rng):
+    """Mask-based pool VJP == torch MaxPool2d gradient on tie-free input."""
+    x = rng.standard_normal((2, 6, 12, 12), dtype=np.float32)  # NCHW
+    xt = torch.from_numpy(x.copy()).requires_grad_(True)
+    y = nn.MaxPool2d(2, 2)(xt)
+    gy = rng.standard_normal(y.shape, dtype=np.float32)
+    y.backward(torch.from_numpy(gy))
+    want = xt.grad.numpy()
+
+    gy_nhwc = jnp.asarray(np.transpose(gy, (0, 2, 3, 1)))
+    got = jax.grad(
+        lambda v: jnp.sum(max_pool2d(v, grad="mask") * gy_nhwc)
+    )(to_nhwc(x))
+    np.testing.assert_allclose(from_nhwc(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool_custom_grad_ties_and_odd_edges():
+    """Ties split the gradient evenly (sum preserved); odd trailing rows get
+    zero gradient (they never enter a VALID pool window)."""
+    x = jnp.asarray(np.full((1, 5, 5, 1), 2.0, np.float32))
+    g = jax.grad(lambda v: jnp.sum(max_pool2d(v, grad="mask") * 3.0))(x)
+    g = np.asarray(g)[..., 0][0]
+    np.testing.assert_allclose(g[:4, :4], np.full((4, 4), 0.75))  # 3.0 / 4 ties
+    assert (g[4, :] == 0).all() and (g[:, 4] == 0).all()
+
+
 def test_s2d_lowering_works_with_sharded_batch(rng):
     """The s2d reshapes must stay one-split/one-merge per reshape: sharding
     propagation on a device-sharded batch rejects multi-axis reshapes (hit

@@ -39,6 +39,29 @@ def test_pallas_in_grads_match_xla(rng, relu):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("relu", [False, True])
+def test_pallas_in_channel_split_grads_match_xla(rng, relu):
+    """C=256 exercises the (N, C/128) channel-split grid in fwd AND bwd."""
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 256), dtype=np.float32)) * 2
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(256, dtype=np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(256, dtype=np.float32))
+
+    got = fused_instance_norm(x, gamma, beta, 1e-5, relu, True)
+    want = _xla_instance_norm(x, gamma, beta, eps=1e-5, relu=relu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    gp = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(fused_instance_norm(*a, 1e-5, relu, True))),
+        argnums=(0, 1, 2),
+    )(x, gamma, beta)
+    gx = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(_xla_instance_norm(*a, eps=1e-5, relu=relu))),
+        argnums=(0, 1, 2),
+    )(x, gamma, beta)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
 def test_instance_norm_method_dispatch(rng):
     x = jnp.asarray(rng.standard_normal((1, 4, 4, 8), dtype=np.float32))
     gamma = jnp.ones(8)
@@ -51,8 +74,8 @@ def test_instance_norm_method_dispatch(rng):
 
 
 def test_fits_vmem_gate():
-    assert fits_vmem(64, 64, 256)  # 4 MB body slab at 256px training
-    assert fits_vmem(128, 128, 64)
+    assert fits_vmem(64, 64, 256)  # res-block IN: c splits to 128 -> 1 MB blocks
+    assert not fits_vmem(128, 128, 64)  # c=64 can't split; 2 MB OOM'd bwd VMEM
     assert not fits_vmem(512, 512, 256)  # big-image inference -> XLA path
 
 
