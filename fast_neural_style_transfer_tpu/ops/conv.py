@@ -90,8 +90,10 @@ def reflect_conv2d(
     if lowering not in ("auto", "direct", "s2d", "same_delta"):
         raise ValueError(f"unknown conv lowering {lowering!r}")
     if lowering == "same_delta":
-        if k != 3 or stride != 1:
-            raise ValueError("same_delta lowering implemented for k3/s1 only")
+        if k % 2 == 0 or stride != 1 or x.shape[1] <= k // 2 or x.shape[2] <= k // 2:
+            raise ValueError(
+                "same_delta lowering needs odd k, stride 1, dims > k//2"
+            )
         return _reflect_conv2d_same_delta(x, w, b, accum_dtype=accum_dtype)
     use_s2d = lowering == "s2d"
     if lowering == "auto" and jax.default_backend() == "tpu":
@@ -301,44 +303,65 @@ _conv2d_same_smallc.defvjp(_conv2d_same_smallc_fwd, _conv2d_same_smallc_bwd)
 
 
 def _reflect_conv2d_same_delta(x, w, b, *, accum_dtype=jnp.float32):
-    """k3/s1 reflect conv as zero-pad SAME conv + exact border corrections.
+    """Odd-k stride-1 reflect conv as zero-pad SAME conv + exact border
+    corrections.
 
     A materialized reflect pad costs a full read+write of the activation per
     conv (and a slice+add chain in its adjoint); zero padding is free inside
-    ``conv_general_dilated``. The difference between the two pads lives only
-    on the 1-px pad ring, whose contribution to the output is confined to
-    the 1-px output border — computed here with four strip convs (1xW / Hx1)
-    and added in place. Exact: ring = reflect-pad minus zero-pad, partitioned
-    into top/bottom rows (full width, reflect-padded corners) and left/right
-    columns (rows 1..H-2 only, zero-padded ends), so every ring cell is
-    counted once. Autodiff never sees a reflect-pad adjoint.
+    ``conv_general_dilated`` (and for k=9 the s2d zero-pad form applies).
+    The difference between the two pads lives only on the p-px pad ring
+    (p = k//2), whose contribution to the output is confined to the p-px
+    output border — computed here with four strip convs (pxW / Hxp) and
+    added in place. Exact partition of the ring: top/bottom row bands span
+    the full padded width (corners reflect both dims, which equals the
+    band rows' own horizontal reflect-extension); left/right column bands
+    cover only padded rows p..H+p-1 (zero-extended ends), so every ring
+    cell is counted exactly once. Autodiff never sees a reflect-pad adjoint.
     """
     n, h, wd, c = x.shape
-    out = _conv(x, w, 1, ((1, 1), (1, 1)), accum_dtype=accum_dtype)
+    k = w.shape[0]
+    p = k // 2
 
-    def hstrip(row_src, wrow):
-        # ring ROW cells (incl. both corners): reflect row ``row_src``,
-        # corners reflect both dims -> extend the strip with its own
-        # index-1 / index-(W-2) values; affects one full output row
-        r = x[:, row_src, :, :]  # (n, W, c)
-        r = jnp.concatenate([r[:, 1:2], r, r[:, -2:-1]], axis=1)  # (n, W+2, c)
-        return _conv(r[:, None, :, :],  # (n, 1, W+2, c)
-                     wrow[None], 1, "VALID", accum_dtype=accum_dtype)[:, 0]
+    if (
+        k == 9
+        and jax.default_backend() == "tpu"
+        and (h + 2 * p) % 4 == 0
+        and (wd + 2 * p) % 4 == 0
+    ):
+        out = _conv2d_same_s2d_s1(x, w)  # zero-pad SAME, MXU-shaped
+    else:
+        out = _conv(x, w, 1, ((p, p), (p, p)), accum_dtype=accum_dtype)
 
-    def vstrip(col_src, wcol):
-        # ring COLUMN cells excluding the corner cells (those belong to the
-        # row strips): padded rows 1..H map to x rows 0..H-1; zero-pad the
-        # strip ends so border outputs get only their in-partition taps.
-        # Affects one full output column.
-        s = x[:, :, col_src, :]  # (n, H, c)
-        s = jnp.pad(s, ((0, 0), (1, 1), (0, 0)))  # (n, H+2, c)
-        return _conv(s[:, :, None, :], wcol[:, None], 1, "VALID",
-                     accum_dtype=accum_dtype)[:, :, 0]
+    def hext(v):
+        # horizontal reflect-extension by p (ring rows' corner values)
+        return jnp.concatenate(
+            [v[:, :, p:0:-1], v, v[:, :, -2 : -p - 2 : -1]], axis=2
+        )
 
-    out = out.at[:, 0, :, :].add(hstrip(1, w[0]).astype(out.dtype))
-    out = out.at[:, h - 1, :, :].add(hstrip(h - 2, w[2]).astype(out.dtype))
-    out = out.at[:, :, 0, :].add(vstrip(1, w[:, 0]).astype(out.dtype))
-    out = out.at[:, :, wd - 1, :].add(vstrip(wd - 2, w[:, 2]).astype(out.dtype))
+    # top band: padded rows 0..p-1 = x rows p..1; affects output rows 0..p-1
+    top = hext(x[:, p:0:-1])  # (n, p, W+2p, c)
+    top = jnp.pad(top, ((0, 0), (0, k - 1), (0, 0), (0, 0)))
+    d_top = _conv(top, w, 1, "VALID", accum_dtype=accum_dtype)
+
+    # bottom band: padded rows H+p..H+2p-1 = x rows H-2..H-p-1
+    bot = hext(x[:, -2 : -p - 2 : -1])
+    bot = jnp.pad(bot, ((0, 0), (k - 1, 0), (0, 0), (0, 0)))
+    d_bot = _conv(bot, w, 1, "VALID", accum_dtype=accum_dtype)
+
+    # left band: padded cols 0..p-1 = x cols p..1, padded rows p..H+p-1 only
+    left = x[:, :, p:0:-1]  # (n, H, p, c)
+    left = jnp.pad(left, ((0, 0), (p, p), (0, k - 1), (0, 0)))
+    d_left = _conv(left, w, 1, "VALID", accum_dtype=accum_dtype)
+
+    # right band: padded cols W+p..W+2p-1 = x cols W-2..W-p-1
+    right = x[:, :, -2 : -p - 2 : -1]
+    right = jnp.pad(right, ((0, 0), (p, p), (k - 1, 0), (0, 0)))
+    d_right = _conv(right, w, 1, "VALID", accum_dtype=accum_dtype)
+
+    out = out.at[:, :p, :, :].add(d_top.astype(out.dtype))
+    out = out.at[:, -p:, :, :].add(d_bot.astype(out.dtype))
+    out = out.at[:, :, :p, :].add(d_left.astype(out.dtype))
+    out = out.at[:, :, -p:, :].add(d_right.astype(out.dtype))
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

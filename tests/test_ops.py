@@ -286,14 +286,16 @@ def test_reflect_conv2d_k3s2_s2d_matches_direct(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("h,w,cin,cout", [
-    (8, 8, 4, 6), (9, 7, 3, 5), (16, 12, 8, 8), (4, 5, 2, 3),
+@pytest.mark.parametrize("k,h,w,cin,cout", [
+    (3, 8, 8, 4, 6), (3, 9, 7, 3, 5), (3, 16, 12, 8, 8), (3, 4, 5, 2, 3),
+    (9, 16, 12, 8, 3), (9, 10, 10, 2, 2),  # k9: p=4 bands (final-conv family)
+    (5, 10, 9, 3, 4),
 ])
-def test_reflect_conv2d_same_delta_matches_direct(rng, h, w, cin, cout):
+def test_reflect_conv2d_same_delta_matches_direct(rng, k, h, w, cin, cout):
     """Zero-pad-SAME + border-delta lowering (the b20 train-step win):
     forward and both gradients equal the direct reflect conv."""
     x = jnp.asarray(rng.standard_normal((2, h, w, cin), dtype=np.float32))
-    wt = jnp.asarray(rng.standard_normal((3, 3, cin, cout), dtype=np.float32) * 0.1)
+    wt = jnp.asarray(rng.standard_normal((k, k, cin, cout), dtype=np.float32) * 0.1)
     b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
     d = reflect_conv2d(x, wt, b, stride=1, lowering="direct")
     s = reflect_conv2d(x, wt, b, stride=1, lowering="same_delta")
