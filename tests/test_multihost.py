@@ -95,6 +95,10 @@ def test_two_process_pipeline_and_train_step(tmp_path):
 
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # Workers must import the package even when it isn't pip-installed:
+    # sys.path[0] for `python /tmp/worker.py` is /tmp, not the cwd.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(r), str(port), str(data)],
