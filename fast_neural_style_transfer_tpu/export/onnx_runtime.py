@@ -99,7 +99,16 @@ def _parse_attr(buf: bytes) -> Tuple[str, Any]:
         elif field == 4:
             value = v.decode()  # string
         elif field == 8:
-            ints.append(v)
+            # repeated int64 ints: proto3 encoders (protoc, onnx) emit these
+            # packed (one length-delimited blob of varints); our own writer
+            # emits them unpacked. Accept both.
+            if wire == 2:
+                j = 0
+                while j < len(v):
+                    d, j = _read_varint(v, j)
+                    ints.append(d)
+            else:
+                ints.append(v)
     return name, (ints if ints else value)
 
 
