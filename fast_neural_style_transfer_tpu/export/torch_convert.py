@@ -26,6 +26,7 @@ ConvTranspose2d stores weights (in, out, kh, kw); Conv2d stores
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Tuple
 
 import jax.numpy as jnp
@@ -126,6 +127,77 @@ def load_torch_checkpoint(path: str) -> Params:
     return from_torch_state_dict(obj)
 
 
+def is_torch_training_checkpoint(path: str) -> bool:
+    """True iff ``path`` is a torch-loadable reference TRAINING checkpoint
+    (carries optimizer state — train.py:269-283), as opposed to a bare
+    state_dict .pth, an .npz, or an Orbax directory."""
+    if not (os.path.isfile(path) and path.endswith((".pth", ".pt", ".bin"))):
+        return False
+    try:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        return False
+    return isinstance(obj, dict) and "optimizer_state_dict" in obj
+
+
+def from_torch_training_checkpoint(path: str):
+    """Full reference training checkpoint -> (params, adam_mu, adam_nu,
+    adam_count, iteration).
+
+    The reference saves ``model_state_dict`` + ``optimizer_state_dict`` +
+    ``iteration`` every 5000 iters (/root/reference/train.py:269-283) and its
+    resume path restores Adam moments and the schedule position
+    (/root/reference/train.py:39-66). This extracts that state for optax:
+
+    - torch Adam's integer state ids index ``param_groups[0]['params']``,
+      which follows ``model.parameters()`` order — identical to the
+      state_dict key order for this model (InstanceNorm2d here has
+      ``track_running_stats=False``, so the state_dict holds parameters
+      only). Each id therefore maps to the state_dict key at the same
+      position, and the moments convert with the same OIHW/IOHW -> HWIO
+      transposes as the weights they shadow.
+    - ``adam_count`` is torch Adam's per-param ``step`` (drives bias
+      correction; optax keeps one global count), falling back to
+      ``iteration`` for params the optimizer never touched.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if not (isinstance(obj, dict) and "optimizer_state_dict" in obj):
+        raise ValueError(
+            f"{path} is not a reference training checkpoint "
+            "(no optimizer_state_dict)"
+        )
+    msd = obj["model_state_dict"]
+    params = from_torch_state_dict(msd)
+    iteration = int(obj.get("iteration", 0))
+
+    osd = obj["optimizer_state_dict"]
+    ids = list(osd["param_groups"][0]["params"])
+    keys = list(msd.keys())
+    if len(ids) != len(keys):
+        raise ValueError(
+            f"optimizer has {len(ids)} params but model has {len(keys)}"
+        )
+    mu_sd: Dict[str, Any] = {}
+    nu_sd: Dict[str, Any] = {}
+    adam_count = iteration
+    for pos, pid in enumerate(ids):
+        st = osd["state"].get(pid, osd["state"].get(str(pid)))
+        key = keys[pos]
+        if st is None:  # param never stepped (fresh optimizer)
+            mu_sd[key] = np.zeros_like(_to_np(msd[key]))
+            nu_sd[key] = np.zeros_like(_to_np(msd[key]))
+        else:
+            mu_sd[key] = st["exp_avg"]
+            nu_sd[key] = st["exp_avg_sq"]
+            if pos == 0:
+                adam_count = int(_to_np(st["step"]))
+    return params, from_torch_state_dict(mu_sd), from_torch_state_dict(nu_sd), adam_count, iteration
+
+
 def save_torch_checkpoint(params: Params, path: str) -> None:
     """Write a ``.pth`` the reference's inference.py loads directly
     (wrapped in the checkpoint-dict layout it expects at inference.py:33-36)."""
@@ -133,3 +205,68 @@ def save_torch_checkpoint(params: Params, path: str) -> None:
 
     sd = {k: torch.from_numpy(v.copy()) for k, v in to_torch_state_dict(params).items()}
     torch.save({"model_state_dict": sd}, path)
+
+
+def save_torch_training_checkpoint(
+    params: Params,
+    mu: Params,
+    nu: Params,
+    adam_count: int,
+    iteration: int,
+    path: str,
+    *,
+    lr: float = 1e-3,
+    weight_decay: float = 1e-5,
+    loss: float = 0.0,
+    weights: Dict[str, float] = None,
+) -> None:
+    """Write a FULL reference-format training checkpoint — the dict layout
+    /root/reference/train.py:269-283 saves and train.py:39-66 resumes from —
+    so a TPU run can be continued by the reference's own trainer with its
+    Adam moments and schedule position intact (inverse of
+    ``from_torch_training_checkpoint``)."""
+    import torch
+
+    def _t(sd):
+        return {k: torch.from_numpy(np.array(v, np.float32)) for k, v in sd.items()}
+
+    msd = _t(to_torch_state_dict(params))
+    mu_sd = _t(to_torch_state_dict(mu))
+    nu_sd = _t(to_torch_state_dict(nu))
+    opt_state = {
+        i: {
+            "step": torch.tensor(float(adam_count)),
+            "exp_avg": mu_sd[k],
+            "exp_avg_sq": nu_sd[k],
+        }
+        for i, k in enumerate(msd)
+    }
+    # torch Adam.load_state_dict installs the saved param_groups verbatim, so
+    # every hyperparameter its step() reads must be present
+    group = {
+        "lr": lr,
+        "betas": (0.9, 0.999),
+        "eps": 1e-8,
+        "weight_decay": weight_decay,
+        "amsgrad": False,
+        "maximize": False,
+        "foreach": None,
+        "capturable": False,
+        "differentiable": False,
+        "fused": None,
+        "params": list(range(len(msd))),
+    }
+    w = weights or {}
+    torch.save(
+        {
+            "model_state_dict": msd,
+            "optimizer_state_dict": {"state": opt_state, "param_groups": [group]},
+            "scheduler_state_dict": {"last_epoch": iteration, "_step_count": iteration + 1},
+            "iteration": iteration,
+            "loss": loss,
+            "content_weight": w.get("content", 1000.0),
+            "style_weight": w.get("style", 1.0),
+            "tv_weight": w.get("tv", 10.0),
+        },
+        path,
+    )

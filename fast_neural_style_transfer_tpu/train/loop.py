@@ -138,12 +138,36 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     # stylizer + optimizer state, replicated over the mesh
     optimizer = make_optimizer(cfg.lr, cfg.total_steps, grad_accum=cfg.grad_accum)
     params = TransformerNet.init(jax.random.PRNGKey(cfg.seed))
+    state = None
     if cfg.init_checkpoint:
-        from fast_neural_style_transfer_tpu.infer.stylize import Stylizer
+        # A reference TRAINING checkpoint (.pth with optimizer_state_dict,
+        # /root/reference/train.py:269-283) resumes fully: params + Adam
+        # moments + bias-correction count + schedule position + iteration.
+        # Anything else (.npz, bare state_dict .pth) warm-starts params only.
+        from fast_neural_style_transfer_tpu.export.torch_convert import (
+            is_torch_training_checkpoint,
+        )
 
-        params = Stylizer.from_checkpoint(cfg.init_checkpoint).params
-        print(f"warm-started params from {cfg.init_checkpoint}", flush=True)
-    state = create_train_state(params, optimizer)
+        if is_torch_training_checkpoint(cfg.init_checkpoint):
+            from fast_neural_style_transfer_tpu.train.state import (
+                state_from_reference_checkpoint,
+            )
+
+            state = state_from_reference_checkpoint(
+                cfg.init_checkpoint, optimizer, grad_accum=cfg.grad_accum
+            )
+            print(
+                f"fully resumed reference training checkpoint "
+                f"{cfg.init_checkpoint} at iteration {int(state.step)}",
+                flush=True,
+            )
+        else:
+            from fast_neural_style_transfer_tpu.infer.stylize import Stylizer
+
+            params = Stylizer.from_checkpoint(cfg.init_checkpoint).params
+            print(f"warm-started params from {cfg.init_checkpoint}", flush=True)
+    if state is None:
+        state = create_train_state(params, optimizer)
     state = replicate_state(state, plan.replicated)
 
     ckpt = CheckpointManager(

@@ -1,0 +1,207 @@
+"""Full resume from a REFERENCE training checkpoint (VERDICT item #6).
+
+The reference's resume path restores model + Adam moments + scheduler +
+iteration from its .pth checkpoint dict (/root/reference/train.py:39-66,
+saved at :269-283). These tests build a real torch Adam training checkpoint
+on the reference's own StyleTransferNet, resume it through
+``state_from_reference_checkpoint``, and assert:
+
+- params, Adam mu/nu, bias-correction count, schedule position, and the
+  iteration all survive the torch -> optax conversion;
+- one post-resume optax update equals torch Adam's update on identical
+  gradients (the end-to-end proof the moments landed in the right slots);
+- the round trip back out (``save_torch_training_checkpoint``) is loadable by
+  torch's own Adam.load_state_dict and re-imports losslessly.
+"""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fast_neural_style_transfer_tpu.export.torch_convert import (
+    from_torch_state_dict,
+    from_torch_training_checkpoint,
+    is_torch_training_checkpoint,
+    save_torch_training_checkpoint,
+    to_torch_state_dict,
+)
+from fast_neural_style_transfer_tpu.models import TransformerNet
+from fast_neural_style_transfer_tpu.train.schedule import cosine_lr_schedule
+from fast_neural_style_transfer_tpu.train.state import (
+    extract_adam_moments,
+    make_optimizer,
+    state_from_reference_checkpoint,
+)
+
+REF = "/root/reference"
+
+
+def _load_ref_model():
+    sys.path.insert(0, REF)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_model_resume", f"{REF}/models/model.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(REF)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_checkpoint(tmp_path_factory):
+    """A genuine reference-layout training checkpoint: the reference's own
+    StyleTransferNet trained 3 steps by torch Adam, saved in the dict layout
+    of /root/reference/train.py:269-283."""
+    torch.manual_seed(0)
+    net = _load_ref_model().StyleTransferNet()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3, betas=(0.9, 0.999),
+                           eps=1e-8, weight_decay=1e-5)
+    x = torch.randn(2, 3, 32, 32)
+    net.train()
+    for _ in range(3):
+        opt.zero_grad()
+        (net(x) ** 2).mean().backward()
+        opt.step()
+    path = tmp_path_factory.mktemp("ref_ckpt") / "checkpoint_iter_3.pth"
+    torch.save(
+        {
+            "model_state_dict": net.state_dict(),
+            "optimizer_state_dict": opt.state_dict(),
+            "scheduler_state_dict": {"last_epoch": 3},
+            "iteration": 3,
+            "loss": 1.0,
+            "content_weight": 1000.0,
+            "style_weight": 1.0,
+            "tv_weight": 10.0,
+        },
+        path,
+    )
+    return str(path), net, opt
+
+
+def test_detection(ref_checkpoint, tmp_path):
+    path, net, _ = ref_checkpoint
+    assert is_torch_training_checkpoint(path)
+    bare = tmp_path / "bare.pth"
+    torch.save({"model_state_dict": net.state_dict()}, bare)
+    assert not is_torch_training_checkpoint(str(bare))
+    assert not is_torch_training_checkpoint(str(tmp_path / "missing.pth"))
+
+
+def test_moments_step_and_schedule_restore(ref_checkpoint):
+    path, net, opt = ref_checkpoint
+    optimizer = make_optimizer(1e-3, 100)
+    state = state_from_reference_checkpoint(path, optimizer)
+
+    assert int(state.step) == 3
+
+    # params converted
+    expect_params = from_torch_state_dict(net.state_dict())
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+        state.params, expect_params,
+    )
+
+    # moments landed in ScaleByAdamState with the right layout + count
+    mu, nu, count = extract_adam_moments(state.opt_state)
+    assert count == 3
+    osd = opt.state_dict()
+    keys = list(net.state_dict().keys())
+    mu_sd = {keys[i]: osd["state"][i]["exp_avg"] for i in range(len(keys))}
+    nu_sd = {keys[i]: osd["state"][i]["exp_avg_sq"] for i in range(len(keys))}
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+        mu, from_torch_state_dict(mu_sd),
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+        nu, from_torch_state_dict(nu_sd),
+    )
+
+    # cosine schedule resumed at the same position
+    sched_counts = [
+        int(s.count) for s in jax.tree.leaves(
+            state.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState)
+        ) if isinstance(s, optax.ScaleByScheduleState)
+    ]
+    assert sched_counts == [3]
+
+
+def test_post_resume_update_matches_torch_adam(ref_checkpoint):
+    """One optax update after resume == one torch Adam step on the same
+    gradients — proves every moment tensor sits in the slot the math reads."""
+    path, net, opt = ref_checkpoint
+    total_steps = 100
+    optimizer = make_optimizer(1e-3, total_steps)
+    state = state_from_reference_checkpoint(path, optimizer)
+
+    # identical small gradients both sides (norm < 1 so the clip is inert)
+    torch.manual_seed(7)
+    grads_sd = {k: torch.randn_like(v) * 1e-4 for k, v in net.state_dict().items()}
+    grads = from_torch_state_dict(grads_sd)
+
+    updates, _ = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    # torch side: same lr as our cosine at the restored position
+    lr_now = float(cosine_lr_schedule(1e-3, total_steps)(3))
+    for g in opt.param_groups:
+        g["lr"] = lr_now
+    for p, k in zip(net.parameters(), net.state_dict().keys()):
+        p.grad = grads_sd[k].clone()
+    opt.step()
+
+    expect = from_torch_state_dict(net.state_dict())
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-8),
+        new_params, expect,
+    )
+
+
+def test_round_trip_back_to_torch(ref_checkpoint, tmp_path):
+    """Our state exports to a checkpoint torch's own Adam can load, and
+    re-importing it is lossless."""
+    path, net, _ = ref_checkpoint
+    optimizer = make_optimizer(1e-3, 100)
+    state = state_from_reference_checkpoint(path, optimizer)
+    mu, nu, count = extract_adam_moments(state.opt_state)
+
+    out = tmp_path / "exported.pth"
+    save_torch_training_checkpoint(
+        state.params, mu, nu, count, int(state.step), str(out)
+    )
+
+    # torch accepts it wholesale
+    net2 = _load_ref_model().StyleTransferNet()
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    net2.load_state_dict(ckpt["model_state_dict"])
+    opt2 = torch.optim.Adam(net2.parameters(), lr=1e-3)
+    opt2.load_state_dict(ckpt["optimizer_state_dict"])
+    assert ckpt["iteration"] == 3
+
+    # and our re-import of it is lossless
+    p2, mu2, nu2, count2, it2 = from_torch_training_checkpoint(str(out))
+    assert (count2, it2) == (count, 3)
+    for a, b in [(p2, state.params), (mu2, mu), (nu2, nu)]:
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-6), a, b
+        )
+
+
+def test_grad_accum_resume_scales_micro_steps(ref_checkpoint):
+    path, _, _ = ref_checkpoint
+    optimizer = make_optimizer(1e-3, 100, grad_accum=4)
+    state = state_from_reference_checkpoint(path, optimizer, grad_accum=4)
+    # reference iterations are applied updates; micro-step counter scales
+    assert int(state.step) == 12
+    _, _, count = extract_adam_moments(state.opt_state)
+    assert count == 3
