@@ -69,6 +69,72 @@ def bench_inference(chain: int = 20, samples: int = 5):
     return float(np.percentile(per_iter, 50)), rtt
 
 
+def bench_inference_batched(batch: int, chain: int = 10, samples: int = 3) -> float:
+    """Batched stylization throughput (images/sec/chip) at 256x256 — the
+    north-star unit (SURVEY.md §6). Device time via the chained method."""
+    from fast_neural_style_transfer_tpu.core.dtypes import Precision
+    from fast_neural_style_transfer_tpu.models import TransformerNet
+
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    prec = Precision.bf16() if on_tpu else Precision.f32()
+    fwd = jax.jit(lambda v: TransformerNet.apply(params, v, train=False, precision=prec))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 256, 256, 3)), jnp.float32
+    )
+    _chain_time_ms(fwd, x, 2)  # compile + warm
+    rtt = _measure_rtt(3)
+    per_iter = []
+    for _ in range(samples):
+        total = _chain_time_ms(fwd, x, chain)
+        per_iter.append(max(total - rtt, 1e-6) / chain)
+    ms = float(np.percentile(per_iter, 50))
+    return batch / (ms / 1000.0)
+
+
+def bench_e2e_ms_per_image(image_path: str = "/root/reference/dancing.jpg",
+                           repeats: int = 5) -> float:
+    """Wall-clock per image through the WHOLE user path: JPEG decode +
+    resize + ImageNet normalize (host) -> H2D -> forward -> D2H ->
+    de-normalize + uint8 (host). Includes the tunnel RTT on this
+    environment; on directly-attached hardware the same code path loses
+    that overhead."""
+    import os
+
+    from fast_neural_style_transfer_tpu.core.dtypes import Precision
+    from fast_neural_style_transfer_tpu.models import TransformerNet
+    from fast_neural_style_transfer_tpu.utils.image_io import (
+        denormalize_image,
+        load_image,
+    )
+
+    if not os.path.exists(image_path):  # fall back to a synthetic jpeg
+        from PIL import Image
+
+        image_path = "/tmp/bench_e2e.jpg"
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 256, (512, 512, 3), dtype=np.uint8)
+        ).save(image_path)
+
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    prec = Precision.bf16() if on_tpu else Precision.f32()
+    fwd = jax.jit(lambda v: TransformerNet.apply(params, v, train=False, precision=prec))
+
+    def one():
+        x = load_image(image_path, (256, 256))  # decode+resize+normalize
+        out = np.asarray(fwd(jnp.asarray(x)))   # H2D + forward + D2H
+        return (denormalize_image(out) * 255.0).astype(np.uint8)
+
+    one()  # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        one()
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.percentile(ts, 50))
+
+
 def bench_train_steps_per_sec(iters: int = 20, batch: int = 4) -> float:
     from fast_neural_style_transfer_tpu.core.dtypes import Precision
     from fast_neural_style_transfer_tpu.losses import LossTaps, style_targets_from_features
@@ -114,6 +180,9 @@ def bench_train_steps_per_sec(iters: int = 20, batch: int = 4) -> float:
 
 def main() -> None:
     p50, rtt = bench_inference()
+    ips8 = bench_inference_batched(8)
+    ips32 = bench_inference_batched(32)
+    e2e = bench_e2e_ms_per_image()
     sps4 = bench_train_steps_per_sec(batch=4)
     sps20 = bench_train_steps_per_sec(iters=10, batch=20)
     print(json.dumps({
@@ -123,6 +192,9 @@ def main() -> None:
         "vs_baseline": round(BASELINE_MS / max(p50, 1e-6), 1),
         "train_steps_per_sec_b4": round(sps4, 2),
         "train_images_per_sec_b20": round(sps20 * 20, 1),
+        "infer_images_per_sec_b8": round(ips8, 1),
+        "infer_images_per_sec_b32": round(ips32, 1),
+        "e2e_ms_per_image": round(e2e, 1),
         "tunnel_rtt_ms": round(rtt, 1),
         "device": jax.devices()[0].platform,
     }))
