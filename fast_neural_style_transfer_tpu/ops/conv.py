@@ -302,6 +302,73 @@ def _conv2d_same_smallc_bwd(res, g):
 _conv2d_same_smallc.defvjp(_conv2d_same_smallc_fwd, _conv2d_same_smallc_bwd)
 
 
+def _dx_tap_packed(g: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """d(out)/d(x) of a stride-1 SAME conv, tap-packed for tiny C_in.
+
+    The standard input-grad of a k x k conv with C_in=3 is a C_out->3 conv:
+    3 of 128 MXU lanes used, and XLA's chosen layout makes it the single
+    hottest op of the b20 train step (6.0 ms for VGG conv1_1 dx). Folding
+    the k*k taps INTO the output-channel dim fixes the shape without
+    touching the big gradient tensor's layout (the round-1 s2d attempt
+    failed by rearranging the 168 MB gradient spatially):
+
+        P[., (u,v,i)] = sum_o g[., o] * wT[u,v,o,i]      (1x1 conv, N=k*k*Ci)
+        dx[h,w,i]     = sum_{u,v} P[h+u-p, w+v-p, (u,v,i)]
+
+    One MXU-shaped matmul (k*k fewer MXU passes than the direct form) plus
+    k*k static shifted adds that XLA fuses into one loop fusion.
+    """
+    k, _, ci, co = w.shape
+    p = k // 2
+    n, h, wd, _ = g.shape
+    # wT[u,v,o,i] = w[k-1-u, k-1-v, i, o]; pack (u,v,i) into output channels
+    wT = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))          # (k,k,co,ci)
+    wpack = jnp.transpose(wT, (2, 0, 1, 3)).reshape(1, 1, co, k * k * ci)
+    P = _conv(g, wpack.astype(g.dtype), 1, "VALID")           # (n,h,w,k²ci)
+    Pp = jnp.pad(P, ((0, 0), (p, p), (p, p), (0, 0)))
+    dx = None
+    for u in range(k):
+        for v in range(k):
+            c0 = (u * k + v) * ci
+            term = lax.slice(
+                Pp, (0, u, v, c0), (n, u + h, v + wd, c0 + ci)
+            )
+            dx = term if dx is None else dx + term
+    return dx
+
+
+@jax.custom_vjp
+def _conv2d_same_tappack(x, w, b):
+    """k-odd/s1 SAME conv with a tap-packed d(out)/d(x) (see _dx_tap_packed).
+
+    MEASURED SLOWER IN CONTEXT — kept as an explicit opt-in, not in "auto".
+    The packed 1x1 conv itself is ~9x fewer MXU passes than the direct
+    64->3 input-grad conv, but the k*k shifted slice-adds materialize and
+    re-read the (b,256,256,k*k*ci) f32 intermediate instead of fusing into
+    one loop, and the b20 bf16 train step regresses 88.1 -> 107.7 ms on
+    v5e (A/B with only this lowering toggled). Same lesson as
+    _conv2d_same_smallc: conv1_1's dx is HBM-bound on the 168 MB gradient,
+    not MXU-bound, so reshaping the matmul cannot pay for extra traffic."""
+    return _conv2d_same_direct(x, w, b, 1, jnp.float32)
+
+
+def _conv2d_same_tappack_fwd(x, w, b):
+    return _conv2d_same_tappack(x, w, b), (x, w, b)
+
+
+def _conv2d_same_tappack_bwd(res, g):
+    x, w, b = res
+    dx = _dx_tap_packed(g, w).astype(x.dtype)
+    (dw,) = jax.linear_transpose(
+        lambda w_: _conv(x, w_, 1, ((w.shape[0] // 2,) * 2,) * 2), w
+    )(g.astype(x.dtype))
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dw.astype(w.dtype), db.astype(b.dtype)
+
+
+_conv2d_same_tappack.defvjp(_conv2d_same_tappack_fwd, _conv2d_same_tappack_bwd)
+
+
 def _reflect_conv2d_same_delta(x, w, b, *, accum_dtype=jnp.float32):
     """Odd-k stride-1 reflect conv as zero-pad SAME conv + exact border
     corrections.
@@ -374,12 +441,15 @@ def conv2d_same(
     *,
     stride: int = 1,
     accum_dtype=jnp.float32,
-    lowering: str = "direct",
+    lowering: str = "auto",
 ) -> jnp.ndarray:
     """Zero-padded conv with PyTorch ``padding=k//2`` semantics (VGG convs).
 
     ``lowering="smallc_s2d"`` opts into the s2d-gradient custom VJP for
-    k3/s1/C_in<=4 — measured slower in context (see _conv2d_same_smallc).
+    k3/s1/C_in<=4, and ``lowering="tappack"`` into the tap-packed
+    input-grad for k*k*C_in<=128 — both measured slower in context and
+    therefore excluded from "auto" (see _conv2d_same_smallc /
+    _conv2d_same_tappack).
     """
     k = w.shape[0]
     if (
@@ -391,6 +461,15 @@ def conv2d_same(
         and jnp.dtype(accum_dtype) == jnp.float32
     ):
         return _conv2d_same_smallc(x, w, b)
+    if (
+        lowering == "tappack"
+        and stride == 1
+        and k % 2 == 1
+        and k * k * w.shape[2] <= 128
+        and b is not None
+        and jnp.dtype(accum_dtype) == jnp.float32
+    ):
+        return _conv2d_same_tappack(x, w, b)
     return _conv2d_same_direct(x, w, b, stride, accum_dtype)
 
 

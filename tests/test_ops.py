@@ -264,6 +264,61 @@ def test_conv2d_same_smallc_custom_vjp_matches_default(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("k,cin,cout", [(3, 3, 64), (3, 4, 16), (5, 3, 8)])
+def test_conv2d_same_tappack_custom_vjp_matches_default(rng, k, cin, cout):
+    """The tap-packed input-grad custom VJP (1x1 conv + shifted adds) must
+    equal XLA's default gradients in value AND in all three cotangents."""
+    from fast_neural_style_transfer_tpu.ops.conv import (
+        _conv2d_same_direct,
+        _conv2d_same_tappack,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 20, 24, cin), dtype=np.float32))
+    wt = jnp.asarray(
+        rng.standard_normal((k, k, cin, cout), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(_conv2d_same_tappack(x, wt, b)),
+        np.asarray(_conv2d_same_direct(x, wt, b, 1, jnp.float32)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    def loss(fn):
+        return lambda x_, w_, b_: jnp.sum(jnp.sin(fn(x_, w_, b_)))
+
+    g_custom = jax.grad(loss(_conv2d_same_tappack), argnums=(0, 1, 2))(x, wt, b)
+    g_direct = jax.grad(
+        loss(lambda a, c, d: _conv2d_same_direct(a, c, d, 1, jnp.float32)),
+        argnums=(0, 1, 2),
+    )(x, wt, b)
+    for got, want in zip(g_custom, g_direct):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_same_tappack_is_explicit_opt_in(rng):
+    """tappack is a measured-slower lowering: selectable explicitly, with
+    values matching direct; falls back to direct when its shape gate fails
+    (k*k*cin > 128, wider than one MXU lane block)."""
+    from fast_neural_style_transfer_tpu.ops import conv as conv_mod
+
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 3), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, 8), dtype=np.float32) * 0.1)
+    b = jnp.zeros(8, jnp.float32)
+    want = conv_mod._conv2d_same_direct(x, wt, b, 1, jnp.float32)
+    got = conv_mod.conv2d_same(x, wt, b, lowering="tappack")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    xw = jnp.asarray(rng.standard_normal((4, 8, 8, 64), dtype=np.float32))
+    ww = jnp.asarray(rng.standard_normal((3, 3, 64, 8), dtype=np.float32) * 0.1)
+    got_wide = conv_mod.conv2d_same(xw, ww, b, lowering="tappack")
+    want_wide = conv_mod._conv2d_same_direct(xw, ww, b, 1, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got_wide), np.asarray(want_wide),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_reflect_conv2d_k3s2_s2d_matches_direct(rng):
     """The widened auto rule's k3/s2 s2d form (encoder conv2): forward and
     gradients equal the direct lowering."""
