@@ -369,6 +369,33 @@ def _conv2d_same_tappack_bwd(res, g):
 _conv2d_same_tappack.defvjp(_conv2d_same_tappack_fwd, _conv2d_same_tappack_bwd)
 
 
+@jax.custom_vjp
+def _conv2d_same_pallas_dx(x, w, b):
+    """k-odd/s1 SAME conv whose WHOLE backward (dx + dw + db) runs as the
+    Pallas planar tap-packed kernel (ops/pallas_conv.py). Forward is
+    identical to the direct path. MEASURED SLOWER IN THE FULL TRAIN STEP
+    in every wiring (the custom-call layout seam costs more than the 5x
+    isolated op win) — opt-in only; see ops/pallas_conv.py's module
+    docstring for the full measurement chain."""
+    return _conv2d_same_direct(x, w, b, 1, jnp.float32)
+
+
+def _conv2d_same_pallas_dx_fwd(x, w, b):
+    return _conv2d_same_pallas_dx(x, w, b), (x, w, b)
+
+
+def _conv2d_same_pallas_dx_bwd(res, g):
+    from fast_neural_style_transfer_tpu.ops.pallas_conv import conv2d_same_bwd
+
+    x, w, b = res
+    dx, dw, db = conv2d_same_bwd(g, x, w)
+    return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype)
+
+
+_conv2d_same_pallas_dx.defvjp(_conv2d_same_pallas_dx_fwd,
+                              _conv2d_same_pallas_dx_bwd)
+
+
 def _reflect_conv2d_same_delta(x, w, b, *, accum_dtype=jnp.float32):
     """Odd-k stride-1 reflect conv as zero-pad SAME conv + exact border
     corrections.
@@ -446,10 +473,13 @@ def conv2d_same(
     """Zero-padded conv with PyTorch ``padding=k//2`` semantics (VGG convs).
 
     ``lowering="smallc_s2d"`` opts into the s2d-gradient custom VJP for
-    k3/s1/C_in<=4, and ``lowering="tappack"`` into the tap-packed
-    input-grad for k*k*C_in<=128 — both measured slower in context and
-    therefore excluded from "auto" (see _conv2d_same_smallc /
-    _conv2d_same_tappack).
+    k3/s1/C_in<=4, ``lowering="tappack"`` into the XLA-level tap-packed
+    input-grad for k*k*C_in<=128, and ``lowering="pallas_dx"`` into the
+    Pallas planar tap-packed backward (ops/pallas_conv.py) — all three
+    measured slower in the full train step and therefore excluded from
+    "auto" (see each implementation's docstring for the measurement; the
+    Pallas kernel wins 5x in isolation but the custom-call layout seam
+    costs more than the op saves).
     """
     k = w.shape[0]
     if (
@@ -470,6 +500,17 @@ def conv2d_same(
         and jnp.dtype(accum_dtype) == jnp.float32
     ):
         return _conv2d_same_tappack(x, w, b)
+    if (
+        lowering == "pallas_dx"
+        and stride == 1
+        and b is not None
+        and jnp.dtype(accum_dtype) == jnp.float32
+    ):
+        from fast_neural_style_transfer_tpu.ops import pallas_conv
+
+        g_shape = x.shape[:3] + (w.shape[3],)
+        if pallas_conv.supported(g_shape, w.shape):
+            return _conv2d_same_pallas_dx(x, w, b)
     return _conv2d_same_direct(x, w, b, stride, accum_dtype)
 
 

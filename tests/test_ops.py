@@ -319,6 +319,92 @@ def test_conv2d_same_tappack_is_explicit_opt_in(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape,k", [
+    ((2, 32, 128, 3, 64), 3),   # VGG conv1_1 shape family
+    ((1, 32, 128, 3, 8), 3),
+    ((2, 48, 256, 2, 16), 5),
+    ((3, 64, 128, 4, 24), 3),
+])
+def test_pallas_conv_dx_matches_xla_grad(rng, shape, k):
+    """The Pallas planar tap-packed input-grad must equal XLA's own conv
+    gradient (interpret mode on CPU; verified bit-exact on-chip too)."""
+    from fast_neural_style_transfer_tpu.ops.conv import _conv2d_same_direct
+    from fast_neural_style_transfer_tpu.ops.pallas_conv import conv2d_same_dx
+
+    n, h, wd, ci, co = shape
+    x = jnp.asarray(rng.standard_normal((n, h, wd, ci), dtype=np.float32))
+    wt = jnp.asarray(
+        rng.standard_normal((k, k, ci, co), dtype=np.float32) * 0.1)
+    b = jnp.zeros(co, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n, h, wd, co), dtype=np.float32))
+
+    want = jax.grad(
+        lambda x_: jnp.sum(_conv2d_same_direct(x_, wt, b, 1, jnp.float32) * g)
+    )(x)
+    got = conv2d_same_dx(g, wt, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((2, 32, 128, 3, 64), 3),   # VGG conv1_1 shape family
+    ((2, 48, 256, 2, 16), 5),
+])
+def test_pallas_conv_full_bwd_matches_xla_grads(rng, shape, k):
+    """conv2d_same_bwd's dx/dw/db must all equal XLA's conv gradients."""
+    from fast_neural_style_transfer_tpu.ops.conv import _conv2d_same_direct
+    from fast_neural_style_transfer_tpu.ops.pallas_conv import conv2d_same_bwd
+
+    n, h, wd, ci, co = shape
+    x = jnp.asarray(rng.standard_normal((n, h, wd, ci), dtype=np.float32))
+    wt = jnp.asarray(
+        rng.standard_normal((k, k, ci, co), dtype=np.float32) * 0.1)
+    b = jnp.zeros(co, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n, h, wd, co), dtype=np.float32))
+
+    want = jax.grad(
+        lambda x_, w_, b_: jnp.sum(
+            _conv2d_same_direct(x_, w_, b_, 1, jnp.float32) * g),
+        argnums=(0, 1, 2))(x, wt, b)
+    got = conv2d_same_bwd(g, x, wt, interpret=True)
+    for got_i, want_i in zip(got, want):
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_same_pallas_dx_opt_in_end_to_end(rng):
+    """The opt-in lowering routes through the Pallas custom VJP (interpret
+    on CPU via the kernel's gate is TPU-only, so call the VJP pieces):
+    value and all three cotangents equal the direct lowering."""
+    from fast_neural_style_transfer_tpu.ops.conv import (
+        _conv2d_same_direct,
+        _conv2d_same_pallas_dx,
+    )
+    from fast_neural_style_transfer_tpu.ops import pallas_conv
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 128, 3), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, 16), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(_conv2d_same_pallas_dx(x, wt, b)),
+        np.asarray(_conv2d_same_direct(x, wt, b, 1, jnp.float32)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_pallas_conv_dx_supported_gate():
+    """The auto gate only admits shapes the kernel handles."""
+    from fast_neural_style_transfer_tpu.ops.pallas_conv import supported
+
+    assert supported((20, 256, 256, 64), (3, 3, 3, 64))      # VGG conv1_1
+    assert not supported((20, 256, 256, 64), (3, 3, 64, 64))  # wide C_in
+    assert not supported((20, 30, 256, 64), (3, 3, 3, 64))    # H % tile
+    assert not supported((20, 16, 256, 64), (3, 3, 3, 64))    # H too small
+    assert not supported((20, 256, 100, 64), (3, 3, 3, 64))   # W % 128
+    assert not supported((20, 256, 256, 64), (2, 2, 3, 64))   # even k
+
+
 def test_reflect_conv2d_k3s2_s2d_matches_direct(rng):
     """The widened auto rule's k3/s2 s2d form (encoder conv2): forward and
     gradients equal the direct lowering."""
