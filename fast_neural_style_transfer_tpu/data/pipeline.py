@@ -6,7 +6,14 @@ drop_last=True)`` (/root/reference/train.py:106-107):
 
 - a thread pool decodes/resizes JPEGs concurrently (PIL releases the GIL in
   its decoders, so threads — not processes — suffice on TPU hosts);
-- batches are normalized to network space vectorized in NumPy;
+- batches ship to device as raw uint8 (``transport="u8"``, default): 4x
+  fewer host->device bytes than pre-normalized f32, with the /255 +
+  ImageNet affine fused into the jitted step on device
+  (train/step.py::normalize_u8_batch). The 2.2k-step soak showed transfer,
+  not decode, bounds end-to-end host throughput (decode sustains 242 img/s
+  on 8 threads; the u8 switch took the harness from 1.4 to 3.4 steps/s at
+  b20). ``transport="f32"`` keeps the host-side normalize (native C++
+  kernel) for callers that want network-space arrays on host;
 - a background prefetcher keeps ``prefetch`` batches ahead, transferring each
   to device (optionally with a NamedSharding over the batch axis) while the
   previous step computes — the double-buffering SURVEY.md §2.2 calls for;
@@ -42,7 +49,10 @@ class InputPipeline:
         prefetch: int = 2,
         sharding: Optional[jax.sharding.Sharding] = None,
         drop_last: bool = True,
+        transport: str = "u8",
     ):
+        if transport not in ("u8", "f32"):
+            raise ValueError(f"transport must be 'u8' or 'f32': {transport!r}")
         if global_batch_size % jax.process_count() != 0:
             raise ValueError(
                 f"global batch {global_batch_size} not divisible by "
@@ -56,6 +66,7 @@ class InputPipeline:
         self.prefetch = prefetch
         self.sharding = sharding
         self.drop_last = drop_last
+        self.transport = transport
 
     # -- host-side batch assembly ------------------------------------------
 
@@ -81,6 +92,14 @@ class InputPipeline:
     def _make_batch(self, pool: ThreadPoolExecutor, batch_idx: np.ndarray) -> np.ndarray:
         imgs = list(pool.map(self.dataset.__getitem__, self._local_slice(batch_idx)))
         u8 = np.stack(imgs)  # (b, h, w, 3) uint8
+        if self.transport == "u8":
+            # Ship raw uint8; the jitted train step normalizes on device
+            # (train/step.py::normalize_u8_batch) where XLA fuses the
+            # /255 + ImageNet affine into the first conv's prologue.
+            # 4x fewer host->device bytes than f32 — PCIe (or, in this dev
+            # harness, the axon tunnel at ~45 MB/s) is the soak-measured
+            # end-to-end bottleneck, not decode.
+            return u8
         # fused /255 + ImageNet normalize: native C++ kernel when the
         # toolchain is present, NumPy otherwise (same numbers either way)
         from fast_neural_style_transfer_tpu import native

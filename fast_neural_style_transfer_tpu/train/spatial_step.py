@@ -43,7 +43,10 @@ from fast_neural_style_transfer_tpu.train.schedule import (
     cosine_lr_schedule,
 )
 from fast_neural_style_transfer_tpu.train.state import TrainState
-from fast_neural_style_transfer_tpu.train.step import ACTIVATION_CLAMP
+from fast_neural_style_transfer_tpu.train.step import (
+    ACTIVATION_CLAMP,
+    normalize_u8_batch,
+)
 
 AXIS = "space"
 
@@ -65,6 +68,7 @@ def spatial_loss_fn(
     the 'space' axis plus any ``batch_axes`` the batch dim is sharded over),
     so the returned scalar is identical on all shards."""
     cw, sw, tw = weights
+    batch = normalize_u8_batch(batch)
     if rng is not None:
         # distinct dropout masks per data shard (each holds different
         # samples); 'space' shards of the SAME sample must share the mask,

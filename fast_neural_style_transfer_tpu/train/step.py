@@ -42,6 +42,27 @@ from fast_neural_style_transfer_tpu.train.state import TrainState
 
 ACTIVATION_CLAMP = 3.0
 
+# torchvision ImageNet stats (utils/image_io.py's canonical preprocess,
+# reference /root/reference/train.py:92-102)
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_u8_batch(batch: jnp.ndarray) -> jnp.ndarray:
+    """uint8 NHWC -> network-space float32, on device.
+
+    The input pipeline ships raw uint8 (4x fewer host->device bytes than
+    pre-normalized f32 — the end-to-end soak showed transfer, not decode,
+    bounds host throughput); XLA fuses this affine into the first conv's
+    prologue. No-op for float input, so pre-normalized batches (tests,
+    library callers) keep working. Resolved at trace time (dtype is
+    static)."""
+    if batch.dtype != jnp.uint8:
+        return batch
+    mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+    return (batch.astype(jnp.float32) / 255.0 - mean) / std
+
 
 def loss_fn(
     params: Any,
@@ -57,6 +78,7 @@ def loss_fn(
 ):
     """Weighted perceptual loss for one batch; returns (total, metrics)."""
     cw, sw, tw = weights
+    batch = normalize_u8_batch(batch)
     stylized = TransformerNet.apply(params, batch, train=train, rng=rng, precision=precision)
     stylized = jnp.clip(stylized, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
 

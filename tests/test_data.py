@@ -7,6 +7,7 @@ import pytest
 from PIL import Image
 
 import jax
+import jax.numpy as jnp
 
 from fast_neural_style_transfer_tpu.data import ImageFolderDataset, InputPipeline
 from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
@@ -54,13 +55,34 @@ def test_empty_dir_raises(tmp_path):
 
 def test_host_batches_shapes_and_normalization(image_dir):
     ds = ImageFolderDataset(image_dir, (32, 32))
-    pipe = InputPipeline(ds, global_batch_size=4, num_workers=2)
+    pipe = InputPipeline(ds, global_batch_size=4, num_workers=2,
+                         transport="f32")
     batch = next(pipe.host_batches(num_epochs=1))
     assert batch.shape == (4, 32, 32, 3) and batch.dtype == np.float32
     # values must lie in the ImageNet-normalized range of [0,1] inputs
     lo = (0.0 - IMAGENET_MEAN) / IMAGENET_STD
     hi = (1.0 - IMAGENET_MEAN) / IMAGENET_STD
     assert (batch >= lo - 1e-5).all() and (batch <= hi + 1e-5).all()
+
+
+def test_u8_transport_matches_host_normalize(image_dir):
+    """Default transport ships raw uint8 (4x fewer H2D bytes); the step's
+    on-device normalize must reproduce the host-normalized f32 path."""
+    from fast_neural_style_transfer_tpu.train.step import normalize_u8_batch
+
+    ds = ImageFolderDataset(image_dir, (32, 32))
+    pipe_u8 = InputPipeline(ds, global_batch_size=4, num_workers=2)
+    b_u8 = next(pipe_u8.host_batches(num_epochs=1))
+    assert b_u8.dtype == np.uint8
+    pipe_f32 = InputPipeline(ds, global_batch_size=4, num_workers=2,
+                             transport="f32")
+    b_f32 = next(pipe_f32.host_batches(num_epochs=1))
+    np.testing.assert_allclose(
+        np.asarray(normalize_u8_batch(jnp.asarray(b_u8))), b_f32,
+        rtol=1e-5, atol=1e-5)
+    # float input passes through untouched
+    np.testing.assert_array_equal(
+        np.asarray(normalize_u8_batch(jnp.asarray(b_f32))), b_f32)
 
 
 def test_epoch_drop_last_and_shuffle_determinism(image_dir):

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Soak drill: long b20 bf16 training run with a mid-run SIGTERM + resume.
+
+Evidence generator for PARITY.md §soak (the reference's recipe is 80k steps
+at batch 20, /root/reference/config.py:3-6; this drill runs >=2k steps on
+the attached chip with a preemption in the middle).
+
+Usage:
+  python tools/soak.py dataset  [dir] [n_images]   # synthesize content set
+  python tools/soak.py phase_a  [outdir]           # run; SIGTERM at ~50%
+  python tools/soak.py phase_b  [outdir]           # resume to completion
+  python tools/soak.py report   [outdir]           # verify + summarize
+"""
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+TOTAL_STEPS = 2200
+BATCH = 20
+CKPT_EVERY = 250
+SIGTERM_AFTER_S = None  # phase_a sends SIGTERM when metrics pass ~step 1000
+
+
+def make_dataset(root: str, n: int = 400) -> None:
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        h, w = int(rng.integers(280, 512)), int(rng.integers(280, 512))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            127 + 120 * np.sin(2 * np.pi * (xx / rng.integers(16, 200)
+                                            + rng.random())),
+            127 + 120 * np.cos(2 * np.pi * (yy / rng.integers(16, 200)
+                                            + rng.random())),
+            rng.integers(0, 255) * np.ones_like(xx, dtype=np.float64),
+        ], axis=-1)
+        img += rng.normal(0, 24, img.shape)
+        Image.fromarray(np.clip(img, 0, 255).astype("uint8")).save(
+            os.path.join(root, f"img{i:04d}.jpg"))
+    print(f"wrote {n} images under {root}")
+
+
+def _cfg(outdir: str):
+    from fast_neural_style_transfer_tpu.train.loop import TrainConfig
+
+    return TrainConfig(
+        style_image="/root/reference/picasso.jpg",
+        dataset_dir="/tmp/soak_ds",
+        output_dir=outdir,
+        monitor_image="/root/reference/dancing.jpg",
+        total_steps=TOTAL_STEPS,
+        batch_size=BATCH,
+        precision="bf16",
+        checkpoint_every=CKPT_EVERY,
+        log_every=50,
+        monitor_every=500,
+        max_checkpoints=100,   # keep the whole chain as evidence
+        num_workers=8,
+    )
+
+
+def run_phase(outdir: str, kill_at_step=None) -> None:
+    """Run training in a subprocess; optionally SIGTERM it once
+    metrics.jsonl passes kill_at_step."""
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from tools.soak import _cfg;"
+        "from fast_neural_style_transfer_tpu.train.loop import "
+        "train_style_transfer;"
+        f"train_style_transfer(_cfg({outdir!r}))"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            cwd="/root/repo")
+    metrics = os.path.join(outdir, "metrics.jsonl")
+    if kill_at_step is None:
+        proc.wait()
+        print("phase exit:", proc.returncode)
+        return
+    sent = False
+    while proc.poll() is None:
+        time.sleep(5)
+        step = -1
+        try:
+            with open(metrics) as f:
+                for line in f:
+                    pass
+                step = json.loads(line).get("step", -1)
+        except (OSError, ValueError, NameError):
+            continue
+        if not sent and step >= kill_at_step:
+            print(f"metrics at step {step}: sending SIGTERM", flush=True)
+            proc.send_signal(signal.SIGTERM)
+            sent = True
+    print("phase exit:", proc.returncode, "(SIGTERM sent:", sent, ")")
+
+
+def report(outdir: str) -> None:
+    metrics = os.path.join(outdir, "metrics.jsonl")
+    rows = [json.loads(l) for l in open(metrics)]
+    steps = [r["step"] for r in rows if "step" in r]
+    losses = [(r["step"], r["loss"]) for r in rows if "loss" in r]
+    ckpts = sorted(
+        int(d) for d in os.listdir(os.path.join(outdir, "checkpoints"))
+        if d.isdigit())
+    dup = len(steps) - len(set(steps))
+    print(json.dumps({
+        "logged_rows": len(steps),
+        "max_step": max(steps),
+        "duplicate_steps_after_resume": dup,
+        "checkpoints": ckpts,
+        "first_loss": losses[0],
+        "last_loss": losses[-1],
+        "nonfinite_skips": sum(r.get("skipped_nonfinite", 0) for r in rows),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "dataset":
+        make_dataset(sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_ds",
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 400)
+    elif cmd == "phase_a":
+        run_phase(sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_out",
+                  kill_at_step=TOTAL_STEPS // 2)
+    elif cmd == "phase_b":
+        run_phase(sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_out")
+    elif cmd == "report":
+        report(sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_out")
+    else:
+        raise SystemExit(f"unknown command {cmd}")
