@@ -95,17 +95,18 @@ def bench_inference_batched(batch: int, chain: int = 10, samples: int = 3) -> fl
 def bench_e2e_ms_per_image(image_path: str = "/root/reference/dancing.jpg",
                            repeats: int = 5) -> float:
     """Wall-clock per image through the WHOLE user path: JPEG decode +
-    resize + ImageNet normalize (host) -> H2D -> forward -> D2H ->
-    de-normalize + uint8 (host). Includes the tunnel RTT on this
-    environment; on directly-attached hardware the same code path loses
-    that overhead."""
+    resize (host) -> uint8 H2D -> on-device normalize + forward +
+    de-normalize + uint8 cast -> uint8 D2H (the stylize_image_file path;
+    both transfer directions carry 1/4 the f32 bytes). Includes the tunnel
+    RTT on this environment; on directly-attached hardware the same code
+    path loses that overhead."""
     import os
 
-    from fast_neural_style_transfer_tpu.core.dtypes import Precision
+    from fast_neural_style_transfer_tpu.infer.stylize import Stylizer
     from fast_neural_style_transfer_tpu.models import TransformerNet
     from fast_neural_style_transfer_tpu.utils.image_io import (
-        denormalize_image,
-        load_image,
+        decode_image,
+        resize_image,
     )
 
     if not os.path.exists(image_path):  # fall back to a synthetic jpeg
@@ -118,13 +119,11 @@ def bench_e2e_ms_per_image(image_path: str = "/root/reference/dancing.jpg",
 
     params = TransformerNet.init(jax.random.PRNGKey(0))
     on_tpu = jax.devices()[0].platform == "tpu"
-    prec = Precision.bf16() if on_tpu else Precision.f32()
-    fwd = jax.jit(lambda v: TransformerNet.apply(params, v, train=False, precision=prec))
+    sty = Stylizer(params, precision="bf16" if on_tpu else "f32")
 
     def one():
-        x = load_image(image_path, (256, 256))  # decode+resize+normalize
-        out = np.asarray(fwd(jnp.asarray(x)))   # H2D + forward + D2H
-        return (denormalize_image(out) * 255.0).astype(np.uint8)
+        u8 = resize_image(decode_image(image_path), (256, 256))
+        return sty.stylize_u8(u8)  # u8 H2D + fused roundtrip + u8 D2H
 
     one()  # compile + warm
     ts = []

@@ -46,6 +46,24 @@ class Stylizer:
         self._fwd = jax.jit(
             lambda p, x: TransformerNet.apply(p, x, train=False, precision=self.precision)
         )
+        self._fwd_u8 = jax.jit(self._u8_roundtrip)
+
+    def _u8_roundtrip(self, p, x_u8):
+        """uint8 in -> uint8 out, entirely on device: /255 + ImageNet
+        normalize, forward, de-normalize, clip, round. Keeps both PCIe (or
+        tunnel) directions at 1/4 the f32 bytes; the affines fuse into the
+        first/last convs."""
+        from fast_neural_style_transfer_tpu.utils.image_io import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+        y = TransformerNet.apply(p, x, train=False, precision=self.precision)
+        y = jnp.clip(y * std + mean, 0.0, 1.0)
+        return (y * 255.0 + 0.5).astype(jnp.uint8)
 
     # -- constructors -------------------------------------------------------
 
@@ -100,6 +118,21 @@ class Stylizer:
             return out[0]
         return denormalize_image(self(image))
 
+    def stylize_u8(self, image_u8: np.ndarray) -> np.ndarray:
+        """Raw uint8 (H,W,3)/(N,H,W,3) in -> stylized uint8 out.
+
+        The production fast path: normalize/denormalize happen on device so
+        host<->device carries uint8 both ways (4x fewer bytes than the f32
+        network-space API). Values match ``stylize`` exactly up to the final
+        *255 rounding (regression-tested)."""
+        squeeze = image_u8.ndim == 3
+        x = jnp.asarray(image_u8[None] if squeeze else image_u8)
+        if x.dtype != jnp.uint8:
+            raise TypeError(f"stylize_u8 wants uint8, got {x.dtype}")
+        padded, (h, w) = pad_to_multiple_reflect(x, self.bucket_multiple)
+        out = np.asarray(self._fwd_u8(self.params, padded))[:, :h, :w, :]
+        return out[0] if squeeze else out
+
 
 def stylize_image_file(
     model_path: str,
@@ -110,9 +143,22 @@ def stylize_image_file(
     precision: str = "f32",
 ) -> str:
     """File-in/file-out single-image path (reference test_inference,
-    inference.py:27-61 — minus its preprocessing bug)."""
+    inference.py:27-61 — minus its preprocessing bug).
+
+    Uses the uint8 device-roundtrip (normalize and denormalize fused into
+    the jitted forward): same canonical preprocess as ``load_image``
+    (defect #7 fix), 4x fewer transfer bytes each way."""
+    from PIL import Image
+
+    from fast_neural_style_transfer_tpu.utils.image_io import (
+        decode_image,
+        resize_image,
+    )
+
     stylizer = Stylizer.from_checkpoint(model_path, precision=precision)
-    x = load_image(content_path, size)  # canonical normalize (defect #7 fix)
-    out = stylizer(x)
-    save_image(out, output_path)  # denormalize + clamp + save
+    u8 = decode_image(content_path)
+    if size is not None:
+        u8 = resize_image(u8, size)
+    out = stylizer.stylize_u8(u8)
+    Image.fromarray(out).save(output_path)
     return output_path

@@ -117,3 +117,33 @@ def test_stylizer_rejects_torchscript_archive(tmp_path):
     export_torchscript(_params(), path, example_hw=32)
     with pytest.raises(ValueError, match="TorchScript"):
         Stylizer.from_checkpoint(path)
+
+
+def test_stylize_u8_matches_f32_path():
+    """The uint8 device-roundtrip must equal the f32 network-space path up
+    to output rounding (same normalize -> forward -> denormalize math)."""
+    params = _params()
+    s = Stylizer(params)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 40, 56, 3), dtype=np.uint8)
+
+    got = s.stylize_u8(u8)
+    assert got.dtype == np.uint8 and got.shape == u8.shape
+
+    from fast_neural_style_transfer_tpu.utils.image_io import normalize_image
+
+    want01 = s.stylize(normalize_image(u8).astype(np.float32))
+    want_u8 = (want01 * 255.0 + 0.5).astype(np.uint8)
+    # identical up to +-1 quantum from f32 rounding order
+    assert np.abs(got.astype(int) - want_u8.astype(int)).max() <= 1
+    # unbatched input round-trips too
+    one = s.stylize_u8(u8[0])
+    assert one.shape == u8[0].shape and one.dtype == np.uint8
+
+
+def test_stylize_u8_rejects_float():
+    import pytest
+
+    s = Stylizer(_params())
+    with pytest.raises(TypeError, match="uint8"):
+        s.stylize_u8(np.zeros((8, 8, 3), np.float32))
