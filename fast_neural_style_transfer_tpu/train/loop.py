@@ -122,6 +122,16 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         f"global batch {cfg.batch_size}",
         flush=True,
     )
+    per_chip = cfg.batch_size // max(plan.num_data_shards, 1)
+    if plan.mesh.devices.flat[0].platform == "tpu" and per_chip % 8:
+        print(
+            f"note: per-chip batch {per_chip} is not a multiple of 8; XLA's "
+            "(batch, channel)-tiled conv layouts pad it up and the step "
+            "computes on the pad (measured: b24 costs only ~4% more wall "
+            "time than b20 — DESIGN.md §8). Prefer batch multiples of "
+            "8/chip, ideally >=64/chip, for throughput.",
+            flush=True,
+        )
 
     # frozen VGG19 + one-time style Gram targets (reference train.py:86-89,110-118)
     vgg_params = resolve_params(cfg.vgg_weights, seed=cfg.seed)
