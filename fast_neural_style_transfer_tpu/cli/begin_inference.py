@@ -17,6 +17,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory to save results")
     p.add_argument("--content_image", type=str, default=inference_content_image,
                    help="Content image for inference")
+    p.add_argument("--content_dir", type=str, default=None,
+                   help="Stylize every image under this directory instead "
+                        "(batched on device; outputs <stem>_stylized.jpg)")
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="Device batch size for --content_dir jobs")
     p.add_argument("--model_path", type=str, default="model_weights",
                    help="Model weights: .npz, Orbax checkpoint dir, or reference .pth")
     p.add_argument("--output_name", type=str, default="stylized_output.jpg",
@@ -39,6 +44,19 @@ def main(argv=None) -> None:
 
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, args.output_name)
+    if args.content_dir:
+        from fast_neural_style_transfer_tpu.infer import stylize_directory
+
+        written = stylize_directory(
+            args.model_path,
+            args.content_dir,
+            args.output_dir,
+            size=tuple(args.size) if args.size else None,
+            batch_size=args.batch_size,
+            precision=args.precision,
+        )
+        print(f"saved {len(written)} stylized images to {args.output_dir}")
+        return
     if args.spatial > 1:
         import numpy as np
 

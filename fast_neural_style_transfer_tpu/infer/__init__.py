@@ -1,4 +1,8 @@
-from fast_neural_style_transfer_tpu.infer.stylize import Stylizer, stylize_image_file
+from fast_neural_style_transfer_tpu.infer.stylize import (
+    Stylizer,
+    stylize_directory,
+    stylize_image_file,
+)
 from fast_neural_style_transfer_tpu.infer.spatial import (
     make_spatial_forward,
     stylize_spatial,
@@ -6,6 +10,7 @@ from fast_neural_style_transfer_tpu.infer.spatial import (
 
 __all__ = [
     "Stylizer",
+    "stylize_directory",
     "stylize_image_file",
     "make_spatial_forward",
     "stylize_spatial",

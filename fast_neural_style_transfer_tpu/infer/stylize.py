@@ -162,3 +162,62 @@ def stylize_image_file(
     out = stylizer.stylize_u8(u8)
     Image.fromarray(out).save(output_path)
     return output_path
+
+
+def stylize_directory(
+    model_path: str,
+    content_dir: str,
+    output_dir: str,
+    *,
+    size: Optional[Tuple[int, int]] = None,
+    batch_size: int = 16,
+    precision: str = "f32",
+    num_workers: int = 8,
+) -> list:
+    """Stylize every image under ``content_dir`` into ``output_dir``.
+
+    Throughput path for bulk jobs: threaded decode, same-shape images
+    grouped and run as uint8 device batches (one compile per shape
+    bucket x batch size; the chip sustains ~1.5k 256^2 images/s batched
+    vs ~1/ms single — bench.py). Output names mirror the input stems.
+    Returns the list of written paths.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from fast_neural_style_transfer_tpu.data.dataset import scan_image_files
+    from fast_neural_style_transfer_tpu.utils.image_io import (
+        decode_image,
+        resize_image,
+    )
+
+    files = scan_image_files(content_dir)
+    stylizer = Stylizer.from_checkpoint(model_path, precision=precision)
+    os.makedirs(output_dir, exist_ok=True)
+
+    def dec(path):
+        u8 = decode_image(path)
+        return resize_image(u8, size) if size is not None else u8
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        imgs = list(pool.map(dec, files))
+
+    # group equal shapes so each group runs as one (or few) device batches
+    groups: Dict[Tuple[int, int], list] = {}
+    for i, im in enumerate(imgs):
+        groups.setdefault(im.shape[:2], []).append(i)
+
+    written = [None] * len(files)
+    for idxs in groups.values():
+        for at in range(0, len(idxs), batch_size):
+            chunk = idxs[at:at + batch_size]
+            batch = np.stack([imgs[i] for i in chunk])
+            outs = stylizer.stylize_u8(batch)
+            for i, out in zip(chunk, outs):
+                stem = os.path.splitext(os.path.basename(files[i]))[0]
+                path = os.path.join(output_dir, f"{stem}_stylized.jpg")
+                Image.fromarray(out).save(path)
+                written[i] = path
+    return written

@@ -147,3 +147,47 @@ def test_stylize_u8_rejects_float():
     s = Stylizer(_params())
     with pytest.raises(TypeError, match="uint8"):
         s.stylize_u8(np.zeros((8, 8, 3), np.float32))
+
+
+def test_stylize_directory_batches_mixed_shapes(tmp_path):
+    """Directory stylization: mixed image sizes group into shape buckets,
+    every input yields a <stem>_stylized.jpg, values match the single-image
+    path."""
+    from PIL import Image
+
+    from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+    from fast_neural_style_transfer_tpu.infer import stylize_directory
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    shapes = [(40, 56), (40, 56), (32, 32), (40, 56)]
+    for i, (h, w) in enumerate(shapes):
+        Image.fromarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)).save(
+            src / f"im{i}.png")
+
+    params = _params()
+    model = str(tmp_path / "m.npz")
+    save_params_npz(params, model)
+
+    outs = stylize_directory(model, str(src), str(tmp_path / "out"),
+                             batch_size=2)
+    assert len(outs) == 4 and all(o is not None for o in outs)
+    import os
+
+    for i, (h, w) in enumerate(shapes):
+        out = np.asarray(Image.open(tmp_path / "out" / f"im{i}_stylized.jpg"))
+        assert out.shape == (h, w, 3)
+        assert os.path.exists(outs[i])
+
+    # batched forward == per-image forward (in memory; the files above add
+    # a JPEG encode that swamps a value comparison on random-weight noise)
+    s = Stylizer(params)
+    u8s = np.stack([
+        np.asarray(Image.open(src / f"im{i}.png").convert("RGB"))
+        for i in (0, 1, 3)])
+    batched = s.stylize_u8(u8s)
+    for j in range(3):
+        single = s.stylize_u8(u8s[j])
+        assert np.abs(batched[j].astype(int) - single.astype(int)).max() <= 1
