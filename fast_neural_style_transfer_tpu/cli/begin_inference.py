@@ -28,7 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Output filename (the reference hard-coded a typo'd name)")
     p.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"),
                    help="Optional resize; default keeps the native resolution")
-    p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"])
+    p.add_argument("--precision", type=str, default="f32",
+                   choices=["f32", "bf16", "int8"],
+                   help="int8 = quantized inference (4x smaller weights; raw "
+                        "convs ~2x bf16 but end-to-end parity on v5e — "
+                        "see infer/quantized.py)")
     p.add_argument("--spatial", type=int, default=1,
                    help="Shard image height over N chips (halo-exchange "
                         "forward; for very large images)")
@@ -58,6 +62,9 @@ def main(argv=None) -> None:
         print(f"saved {len(written)} stylized images to {args.output_dir}")
         return
     if args.spatial > 1:
+        if args.precision == "int8":
+            raise SystemExit("--precision int8 is not supported with --spatial "
+                             "(the halo-exchange forward is float-only)")
         import numpy as np
 
         from fast_neural_style_transfer_tpu.infer import Stylizer, stylize_spatial

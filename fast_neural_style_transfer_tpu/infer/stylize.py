@@ -40,12 +40,26 @@ class Stylizer:
         precision: str = "f32",
         bucket_multiple: int = 64,
     ):
-        self.params = params
-        self.precision: Precision = canonical_compute_dtype(precision)
         self.bucket_multiple = bucket_multiple
-        self._fwd = jax.jit(
-            lambda p, x: TransformerNet.apply(p, x, train=False, precision=self.precision)
-        )
+        if precision == "int8":
+            # int8 MXU path: weights quantized once here, activations per
+            # layer inside the jitted forward. 4x smaller weights; wall
+            # clock ~parity with bf16 on v5e (the forward is fusion-bound,
+            # not MXU-bound) — measurements in infer/quantized.py.
+            from fast_neural_style_transfer_tpu.infer.quantized import (
+                apply_int8,
+                quantize_params,
+            )
+
+            self.params = quantize_params(params)
+            self.precision = canonical_compute_dtype("f32")  # non-conv math
+            self._apply = lambda p, x: apply_int8(p, x)
+        else:
+            self.params = params
+            self.precision: Precision = canonical_compute_dtype(precision)
+            self._apply = lambda p, x: TransformerNet.apply(
+                p, x, train=False, precision=self.precision)
+        self._fwd = jax.jit(self._apply)
         self._fwd_u8 = jax.jit(self._u8_roundtrip)
 
     def _u8_roundtrip(self, p, x_u8):
@@ -61,7 +75,7 @@ class Stylizer:
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
         x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
-        y = TransformerNet.apply(p, x, train=False, precision=self.precision)
+        y = self._apply(p, x)
         y = jnp.clip(y * std + mean, 0.0, 1.0)
         return (y * 255.0 + 0.5).astype(jnp.uint8)
 

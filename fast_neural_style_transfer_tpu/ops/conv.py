@@ -53,8 +53,14 @@ def _conv(
     # this JAX version can't transpose (grad) a conv whose output dtype
     # differs from its inputs'. bf16 convs still accumulate in f32 inside the
     # MXU (XLA's hardware default); only the *stored* output is bf16.
+    # Integer convs (int8 quantized inference, infer/quantized.py) are the
+    # exception: they MUST emit the int32 accumulator (an int8 output would
+    # wrap), and they are inference-only so transposability doesn't apply.
     w = w.astype(x.dtype)
-    pet = accum_dtype if jnp.dtype(accum_dtype) == x.dtype else None
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        pet = accum_dtype
+    else:
+        pet = accum_dtype if jnp.dtype(accum_dtype) == x.dtype else None
     return lax.conv_general_dilated(
         x,
         w,

@@ -4,6 +4,7 @@ import numpy as np
 from PIL import Image
 
 import jax
+import jax.numpy as jnp
 
 from fast_neural_style_transfer_tpu.infer import Stylizer, stylize_image_file
 from fast_neural_style_transfer_tpu.models import TransformerNet
@@ -191,3 +192,63 @@ def test_stylize_directory_batches_mixed_shapes(tmp_path):
     for j in range(3):
         single = s.stylize_u8(u8s[j])
         assert np.abs(batched[j].astype(int) - single.astype(int)).max() <= 1
+
+
+def test_int8_quantized_forward_agrees_with_f32():
+    """int8 quantized inference must track the f32 forward closely even on
+    a random-weight (worst-case, chaotic) network; instance norm after
+    every conv keeps per-layer scale error from compounding."""
+    from fast_neural_style_transfer_tpu.infer.quantized import (
+        apply_int8,
+        quantize_params,
+    )
+
+    params = _params()
+    q = quantize_params(params)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32)
+    ref = np.asarray(
+        __import__("fast_neural_style_transfer_tpu.models",
+                   fromlist=["TransformerNet"]).TransformerNet.apply(
+            params, x, train=False))
+    got = np.asarray(apply_int8(q, x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert rel < 0.15 and corr > 0.98, (rel, corr)
+
+
+def test_int8_stylizer_end_to_end():
+    """precision='int8' drives the same Stylizer API (incl. the u8
+    roundtrip and shape bucketing)."""
+    params = _params()
+    s8 = Stylizer(params, precision="int8")
+    sf = Stylizer(params)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (1, 40, 56, 3), dtype=np.uint8)
+    got = s8.stylize_u8(u8)
+    assert got.dtype == np.uint8 and got.shape == u8.shape
+    want = sf.stylize_u8(u8)
+    # int8 quantization error in [0,255] space stays small
+    assert np.abs(got.astype(int) - want.astype(int)).mean() < 12.0
+
+
+def test_int8_static_calibration_matches_dynamic():
+    """Calibrated static scales track dynamic quantization on held-out
+    input (scale transfer across batches)."""
+    from fast_neural_style_transfer_tpu.infer.quantized import (
+        apply_int8,
+        calibrate,
+        quantize_params,
+    )
+
+    params = _params()
+    q = quantize_params(params)
+    cal = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32)
+    qc = calibrate(q, params, cal)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 64, 64, 3)), jnp.float32)
+    ref = np.asarray(TransformerNet.apply(params, x, train=False))
+    got = np.asarray(apply_int8(qc, x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.15, rel
