@@ -22,6 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(batched on device; outputs <stem>_stylized.jpg)")
     p.add_argument("--batch_size", type=int, default=16,
                    help="Device batch size for --content_dir jobs")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="Shard --content_dir batches over all chips "
+                        "(params replicated)")
     p.add_argument("--model_path", type=str, default="model_weights",
                    help="Model weights: .npz, Orbax checkpoint dir, or reference .pth")
     p.add_argument("--output_name", type=str, default="stylized_output.jpg",
@@ -58,6 +61,7 @@ def main(argv=None) -> None:
             size=tuple(args.size) if args.size else None,
             batch_size=args.batch_size,
             precision=args.precision,
+            data_parallel=args.data_parallel,
         )
         print(f"saved {len(written)} stylized images to {args.output_dir}")
         return

@@ -39,7 +39,13 @@ class Stylizer:
         *,
         precision: str = "f32",
         bucket_multiple: int = 64,
+        sharding: Optional[Any] = None,
     ):
+        """``sharding``: optional ``jax.sharding.Sharding`` for input
+        batches (e.g. ``make_mesh_plan().batch_sharding``) — batches whose
+        leading dim divides the mesh run data-parallel across chips, with
+        params replicated; XLA handles the rest. Single-image and
+        non-divisible batches fall back to the default device."""
         self.bucket_multiple = bucket_multiple
         if precision == "int8":
             # int8 MXU path: weights quantized once here, activations per
@@ -59,8 +65,25 @@ class Stylizer:
             self.precision: Precision = canonical_compute_dtype(precision)
             self._apply = lambda p, x: TransformerNet.apply(
                 p, x, train=False, precision=self.precision)
+        self.sharding = sharding
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.params = jax.device_put(
+                self.params,
+                NamedSharding(sharding.mesh, PartitionSpec()))
         self._fwd = jax.jit(self._apply)
         self._fwd_u8 = jax.jit(self._u8_roundtrip)
+
+    def _place(self, padded: jnp.ndarray) -> jnp.ndarray:
+        """Shard a batch over the mesh's data axis when it divides."""
+        if self.sharding is None:
+            return padded
+        n_shards = dict(self.sharding.mesh.shape).get(
+            "data", self.sharding.mesh.size)
+        if padded.shape[0] % max(n_shards, 1):
+            return padded
+        return jax.device_put(padded, self.sharding)
 
     def _u8_roundtrip(self, p, x_u8):
         """uint8 in -> uint8 out, entirely on device: /255 + ImageNet
@@ -119,7 +142,7 @@ class Stylizer:
         """Network-space NHWC in -> network-space NHWC out (same H, W)."""
         x = jnp.asarray(batch, jnp.float32)
         padded, (h, w) = pad_to_multiple_reflect(x, self.bucket_multiple)
-        out = self._fwd(self.params, padded)
+        out = self._fwd(self.params, self._place(padded))
         return np.asarray(out[:, :h, :w, :])
 
     def stylize(self, image: np.ndarray) -> np.ndarray:
@@ -144,7 +167,8 @@ class Stylizer:
         if x.dtype != jnp.uint8:
             raise TypeError(f"stylize_u8 wants uint8, got {x.dtype}")
         padded, (h, w) = pad_to_multiple_reflect(x, self.bucket_multiple)
-        out = np.asarray(self._fwd_u8(self.params, padded))[:, :h, :w, :]
+        out = np.asarray(
+            self._fwd_u8(self.params, self._place(padded)))[:, :h, :w, :]
         return out[0] if squeeze else out
 
 
@@ -187,14 +211,18 @@ def stylize_directory(
     batch_size: int = 16,
     precision: str = "f32",
     num_workers: int = 8,
+    data_parallel: bool = False,
 ) -> list:
     """Stylize every image under ``content_dir`` into ``output_dir``.
 
     Throughput path for bulk jobs: threaded decode, same-shape images
     grouped and run as uint8 device batches (one compile per shape
-    bucket x batch size; the chip sustains ~1.5k 256^2 images/s batched
-    vs ~1/ms single — bench.py). Output names mirror the input stems.
-    Returns the list of written paths.
+    bucket; short final chunks are wrap-padded to ``batch_size`` so every
+    chunk reuses the same program; the chip sustains ~1.5k 256^2 images/s
+    batched vs ~1/ms single — bench.py). ``data_parallel=True`` shards
+    each batch over the mesh's ``data`` axis (params replicated) for
+    multi-chip serving; ``batch_size`` must divide by the data-axis size.
+    Output names mirror the input stems. Returns the written paths.
     """
     import os
     from concurrent.futures import ThreadPoolExecutor
@@ -208,7 +236,15 @@ def stylize_directory(
     )
 
     files = scan_image_files(content_dir)
-    stylizer = Stylizer.from_checkpoint(model_path, precision=precision)
+    sharding = None
+    if data_parallel:
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        plan = make_mesh_plan()
+        plan.check_batch(batch_size)
+        sharding = plan.batch_sharding
+    stylizer = Stylizer.from_checkpoint(model_path, precision=precision,
+                                        sharding=sharding)
     os.makedirs(output_dir, exist_ok=True)
 
     def dec(path):
@@ -227,8 +263,14 @@ def stylize_directory(
     for idxs in groups.values():
         for at in range(0, len(idxs), batch_size):
             chunk = idxs[at:at + batch_size]
-            batch = np.stack([imgs[i] for i in chunk])
-            outs = stylizer.stylize_u8(batch)
+            # wrap-pad short chunks to a full batch: one compiled program
+            # per shape bucket, and the leading dim always divides the
+            # data axis under data_parallel
+            fill = chunk + chunk[: batch_size - len(chunk)]
+            while len(fill) < batch_size:
+                fill = fill + chunk[: batch_size - len(fill)]
+            batch = np.stack([imgs[i] for i in fill])
+            outs = stylizer.stylize_u8(batch)[: len(chunk)]
             for i, out in zip(chunk, outs):
                 stem = os.path.splitext(os.path.basename(files[i]))[0]
                 path = os.path.join(output_dir, f"{stem}_stylized.jpg")

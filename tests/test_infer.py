@@ -252,3 +252,43 @@ def test_int8_static_calibration_matches_dynamic():
     got = np.asarray(apply_int8(qc, x))
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.15, rel
+
+
+def test_stylizer_data_parallel_matches_single_device():
+    """A batch sharded over the virtual 8-device data axis must produce the
+    same images as the unsharded forward (params replicated, XLA DP)."""
+    from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+    params = _params()
+    plan = make_mesh_plan()
+    assert plan.num_data_shards == 8
+    sdp = Stylizer(params, sharding=plan.batch_sharding)
+    s1 = Stylizer(params)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (8, 40, 56, 3), dtype=np.uint8)
+    got = sdp.stylize_u8(u8)
+    want = s1.stylize_u8(u8)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # non-divisible batches fall back to the default device and still work
+    got5 = sdp.stylize_u8(u8[:5])
+    assert np.abs(got5.astype(int) - want[:5].astype(int)).max() <= 1
+
+
+def test_stylize_directory_data_parallel(tmp_path):
+    from PIL import Image
+
+    from fast_neural_style_transfer_tpu.infer import stylize_directory
+    from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for i in range(5):  # 5 images, batch 8 -> one wrap-padded DP batch
+        Image.fromarray(
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)).save(
+            src / f"im{i}.png")
+    model = str(tmp_path / "m.npz")
+    save_params_npz(_params(), model)
+    outs = stylize_directory(model, str(src), str(tmp_path / "out"),
+                             batch_size=8, data_parallel=True)
+    assert len(outs) == 5 and all(o is not None for o in outs)
