@@ -11,6 +11,9 @@ reference-compatible .pth.
 import os
 import sys
 
+# run from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if os.environ.get("FNST_QUICKSTART_DEVICE", "cpu") == "cpu":
     import jax
 
