@@ -78,7 +78,8 @@ def main(argv=None) -> None:
         plan = make_mesh_plan(spatial=args.spatial)
         stylizer = Stylizer.from_checkpoint(args.model_path, precision=args.precision)
         x = load_image(args.content_image, tuple(args.size) if args.size else None)
-        out = stylize_spatial(stylizer.params, x, plan)
+        out = stylize_spatial(stylizer.params, x, plan,
+                              precision=stylizer.precision)
         save_image(np.asarray(out), out_path)
     else:
         out_path = stylize_image_file(

@@ -58,6 +58,16 @@ class InputPipeline:
                 f"global batch {global_batch_size} not divisible by "
                 f"{jax.process_count()} processes"
             )
+        if drop_last and len(dataset) < global_batch_size:
+            # With drop_last a too-small dataset yields ZERO batches per
+            # epoch; an unbounded run would then spin through empty epochs
+            # forever with the consumer blocked on the queue. Fail loudly.
+            raise ValueError(
+                f"dataset has {len(dataset)} images but the global batch is "
+                f"{global_batch_size}; with drop_last=True every epoch would "
+                f"be empty. Lower --batch_size or pass drop_last=False "
+                f"(wrap-around fill)."
+            )
         self.dataset = dataset
         self.global_batch_size = global_batch_size
         self.local_batch_size = global_batch_size // jax.process_count()
@@ -82,7 +92,10 @@ class InputPipeline:
             # to fill it (standard TPU practice, no recompile)
             pad = -len(idx) % gbs
             if pad:
-                idx = np.concatenate([idx, idx[:pad]])
+                # np.resize repeats the permutation cyclically, so this fills
+                # correctly even when the dataset is smaller than one batch
+                # (a single idx[:pad] slice would come up short there).
+                idx = np.resize(idx, len(idx) + pad)
         return idx.reshape(-1, gbs)
 
     def _local_slice(self, batch_idx: np.ndarray) -> np.ndarray:

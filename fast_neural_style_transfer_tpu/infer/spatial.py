@@ -21,21 +21,34 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from fast_neural_style_transfer_tpu.core.dtypes import Precision
 from fast_neural_style_transfer_tpu.models.spatial import transformer_forward_sharded
 from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan, shard_map_checked
 
 AXIS = "space"
 
+# (mesh, precision) -> jitted forward. Without this, every stylize_spatial
+# call would build a fresh shard_map closure whose new function identity
+# defeats jit's trace cache — a full recompile per frame on bulk jobs.
+_FWD_CACHE: dict = {}
 
-def make_spatial_forward(plan: MeshPlan):
-    """Jitted H-sharded eval forward over ``plan``'s 'space' axis.
+
+def make_spatial_forward(plan: MeshPlan, *, precision: Precision = Precision.f32()):
+    """Jitted H-sharded eval forward over ``plan``'s 'space' axis, cached
+    per (mesh, precision).
 
     Input: NHWC with H divisible by 4 * n_space_shards. Params replicated.
     """
     if "space" not in plan.mesh.axis_names:
         raise ValueError("mesh has no 'space' axis; build with make_mesh_plan(spatial=N)")
+    key = (plan.mesh, precision)
+    cached = _FWD_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     def fwd(params: Any, x: jnp.ndarray) -> jnp.ndarray:
-        return transformer_forward_sharded(params, x, train=False, axis=AXIS)
+        return transformer_forward_sharded(
+            params, x, train=False, precision=precision, axis=AXIS)
 
     mapped = shard_map_checked(
         fwd,
@@ -44,10 +57,18 @@ def make_spatial_forward(plan: MeshPlan):
         out_specs=P(None, AXIS, None, None),
         check=False,
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+    _FWD_CACHE[key] = jitted
+    return jitted
 
 
-def stylize_spatial(params: Any, image: jnp.ndarray, plan: MeshPlan) -> jnp.ndarray:
+def stylize_spatial(
+    params: Any,
+    image: jnp.ndarray,
+    plan: MeshPlan,
+    *,
+    precision: Precision = Precision.f32(),
+) -> jnp.ndarray:
     """Stylize an NHWC batch with H sharded across the 'space' axis.
 
     Pads H (reflect) to a multiple of 4 * n_shards, crops the output back.
@@ -60,7 +81,7 @@ def stylize_spatial(params: Any, image: jnp.ndarray, plan: MeshPlan) -> jnp.ndar
     x = image
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
-    fwd = make_spatial_forward(plan)
+    fwd = make_spatial_forward(plan, precision=precision)
     out = fwd(params, x)
     if ph or pw:
         # crop host-side: slicing a sharded dim to a non-divisible extent is

@@ -126,14 +126,12 @@ class Stylizer:
             params = load_torch_checkpoint(path)
         else:
             from fast_neural_style_transfer_tpu.train.checkpoint import CheckpointManager
-            from fast_neural_style_transfer_tpu.train.state import (
-                create_train_state,
-                make_optimizer,
-            )
 
+            # params-only restore: works regardless of the optimizer topology
+            # the run used (e.g. --grad_accum>1 wraps opt_state in MultiSteps,
+            # which a default-optimizer template could not restore)
             mgr = CheckpointManager(path)
-            state = mgr.restore(create_train_state(template, make_optimizer()))
-            params = state.params
+            params = mgr.restore_params(template)
         return cls(jax.tree.map(jnp.asarray, params), **kw)
 
     # -- forward ------------------------------------------------------------
@@ -222,7 +220,11 @@ def stylize_directory(
     batched vs ~1/ms single — bench.py). ``data_parallel=True`` shards
     each batch over the mesh's ``data`` axis (params replicated) for
     multi-chip serving; ``batch_size`` must divide by the data-axis size.
-    Output names mirror the input stems. Returns the written paths.
+    Output paths mirror the input paths relative to ``content_dir``
+    (subdirectories are recreated, so same-named files in different
+    folders never clobber each other; a residual stem collision like
+    ``x.jpg`` vs ``x.png`` in one folder gets a numeric suffix). Returns
+    the written paths.
     """
     import os
     from concurrent.futures import ThreadPoolExecutor
@@ -259,6 +261,20 @@ def stylize_directory(
     for i, im in enumerate(imgs):
         groups.setdefault(im.shape[:2], []).append(i)
 
+    # one output path per input, collision-free: mirror the relative path
+    # under output_dir, then uniquify any residual same-stem clash
+    out_paths = [None] * len(files)
+    used = set()
+    for i, f in enumerate(files):
+        rel_stem = os.path.splitext(os.path.relpath(f, content_dir))[0]
+        path = os.path.join(output_dir, f"{rel_stem}_stylized.jpg")
+        n = 1
+        while path in used:
+            path = os.path.join(output_dir, f"{rel_stem}_stylized_{n}.jpg")
+            n += 1
+        used.add(path)
+        out_paths[i] = path
+
     written = [None] * len(files)
     for idxs in groups.values():
         for at in range(0, len(idxs), batch_size):
@@ -272,8 +288,8 @@ def stylize_directory(
             batch = np.stack([imgs[i] for i in fill])
             outs = stylizer.stylize_u8(batch)[: len(chunk)]
             for i, out in zip(chunk, outs):
-                stem = os.path.splitext(os.path.basename(files[i]))[0]
-                path = os.path.join(output_dir, f"{stem}_stylized.jpg")
+                path = out_paths[i]
+                os.makedirs(os.path.dirname(path), exist_ok=True)
                 Image.fromarray(out).save(path)
                 written[i] = path
     return written

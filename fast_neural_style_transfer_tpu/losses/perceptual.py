@@ -35,11 +35,16 @@ from fast_neural_style_transfer_tpu.ops.gram import gram_matrix
 class LossTaps:
     """Which VGG19 activations feed each loss, validated at construction.
 
-    Defaults reproduce the reference's *effective* behavior:
-    - style taps = feature indices [0,1,2] (index 4 dropped by zip truncation)
-      -> relu1_2, relu2_2, relu3_3 with weights .25/.3/.45
-    - content tap = feature index 4 -> relu4_3 (the code comment says relu4_2;
-      the code does relu4_3 — losses/losses.py:49, vgg19_net.py:63)
+    Default style taps reproduce the reference's *effective* behavior:
+    feature indices [0,1,2] (index 4 dropped by zip truncation) ->
+    relu1_2, relu2_2, relu3_3 with weights .25/.3/.45.
+
+    Default ``content_tap`` is ``relu4_2`` — the reference's *documented
+    intent* (config.py:18), a deliberate divergence from its actual code,
+    which taps feature index 4 = relu4_3 (losses/losses.py:49,
+    vgg19_net.py:63). For exact reference-code behavior use
+    ``REFERENCE_TAPS`` (or ``--reference_taps`` / ``--content_tap relu4_3``
+    on the training CLI).
     """
 
     style_taps: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")

@@ -108,8 +108,10 @@ class TransformerNet:
     ) -> jnp.ndarray:
         """NHWC forward. H and W must be multiples of 4 for exact round-trip.
 
-        ``norm_method`` selects the instance-norm lowering ("auto" uses the
-        fused Pallas IN+ReLU kernel on TPU when the slab fits VMEM).
+        ``norm_method`` selects the instance-norm lowering. "auto" resolves
+        to the XLA path (measured faster at these shapes — XLA fuses IN into
+        the producing conv's epilogue); the fused Pallas IN+ReLU kernel is an
+        explicit opt-in via ``norm_method="pallas"`` (ops/norm.py).
         """
         in_dtype = x.dtype
         x = x.astype(precision.compute_dtype)

@@ -428,7 +428,9 @@ def _reflect_conv2d_same_delta(x, w, b, *, accum_dtype=jnp.float32):
         and (h + 2 * p) % 4 == 0
         and (wd + 2 * p) % 4 == 0
     ):
-        out = _conv2d_same_s2d_s1(x, w)  # zero-pad SAME, MXU-shaped
+        # zero-pad SAME, MXU-shaped; forward accum_dtype so integer-exact
+        # accumulation survives this branch too (int8 callers rely on it)
+        out = _conv2d_same_s2d_s1(x, w, accum_dtype=accum_dtype)
     else:
         out = _conv(x, w, 1, ((p, p), (p, p)), accum_dtype=accum_dtype)
 

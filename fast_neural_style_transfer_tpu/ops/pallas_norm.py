@@ -24,11 +24,13 @@ eps=1e-5, f32 statistics (reference /root/reference/models/model.py:29-44).
 The ReLU is fused by gating the backward cotangent on the pre-ReLU sign
 (reconstructed from xhat — no need to save y).
 
-Round-1 note (kept for the record): at batch-1 INFERENCE the XLA path is
+Measurements (see DESIGN.md §3/§8): at batch-1 inference the XLA path is
 faster (1.65 vs 2.99 ms whole-forward) because XLA fuses IN into the conv
-epilogue when the batch is small; at batch-20 TRAINING the stat reduces are
-NOT conv-fused and this kernel wins. ``instance_norm(method="auto")`` in
-ops/norm.py picks per case.
+epilogue; the round-2 in-context A/B at batch-20 training also favored XLA
+(89.2 -> 90.9 ms with this kernel wired in) — the pallas_call boundary
+re-buys the co-fused elementwise work plus layout copies. So
+``instance_norm(method="auto")`` in ops/norm.py always resolves to XLA;
+this kernel is an explicit ``method="pallas"`` opt-in.
 """
 
 from __future__ import annotations

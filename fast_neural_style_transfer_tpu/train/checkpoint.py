@@ -51,6 +51,38 @@ class CheckpointManager:
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
         return TrainState(**restored)
 
+    def restore_params(self, template_params: Any, step: Optional[int] = None) -> Any:
+        """Restore only the stylizer params, independent of the optimizer
+        topology the run was saved with (a ``--grad_accum>1`` run wraps
+        ``opt_state`` in ``optax.MultiSteps``; inference and warm-starts must
+        not need to know that). Restores template-free, then validates tree
+        structure and leaf shapes against ``template_params``."""
+        import logging
+
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        logger = logging.getLogger("absl")
+        prev = logger.level
+        logger.setLevel(logging.ERROR)  # silence the expected no-target note
+        try:
+            restored = self._mgr.restore(step)["params"]
+        finally:
+            logger.setLevel(prev)
+        t_flat, t_def = jax.tree_util.tree_flatten(template_params)
+        r_flat, r_def = jax.tree_util.tree_flatten(restored)
+        if t_def != r_def:
+            raise ValueError(
+                f"checkpoint params tree does not match the model: "
+                f"{r_def} vs {t_def}"
+            )
+        for t, r in zip(t_flat, r_flat):
+            if tuple(np.shape(r)) != tuple(np.shape(t)):
+                raise ValueError(
+                    f"checkpoint param shape {np.shape(r)} != model {np.shape(t)}"
+                )
+        return restored
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

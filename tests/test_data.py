@@ -117,6 +117,25 @@ def test_drop_last_false_wraps_final_batch(image_dir):
     assert all(b.shape == (4, 16, 16, 3) for b in batches)
 
 
+def test_dataset_smaller_than_batch_raises_with_drop_last(image_dir):
+    """drop_last + dataset < global batch would yield ZERO batches per epoch
+    and an unbounded run would hang on the queue forever; must fail loudly."""
+    ds = ImageFolderDataset(image_dir, (16, 16))  # 10 images
+    with pytest.raises(ValueError, match="drop_last"):
+        InputPipeline(ds, global_batch_size=20, num_workers=2)
+
+
+def test_dataset_smaller_than_batch_wraps_without_drop_last(image_dir):
+    """drop_last=False must wrap-fill even when one batch needs more than a
+    full extra pass over the dataset (10 images, batch 32)."""
+    ds = ImageFolderDataset(image_dir, (16, 16))  # 10 images
+    pipe = InputPipeline(ds, global_batch_size=32, num_workers=2,
+                         drop_last=False)
+    batches = list(pipe.host_batches(num_epochs=1))
+    assert len(batches) == 1
+    assert batches[0].shape == (32, 16, 16, 3)
+
+
 def test_device_batches_finite_epochs_terminate(image_dir):
     ds = ImageFolderDataset(image_dir, (16, 16))
     pipe = InputPipeline(ds, global_batch_size=4, num_workers=2)

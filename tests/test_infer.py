@@ -194,6 +194,57 @@ def test_stylize_directory_batches_mixed_shapes(tmp_path):
         assert np.abs(batched[j].astype(int) - single.astype(int)).max() <= 1
 
 
+def test_stylize_directory_no_collision_across_subdirs(tmp_path):
+    """Same-named files in different subdirectories must not clobber each
+    other: outputs mirror the relative path, and a same-dir stem clash
+    (x.jpg vs x.png) gets a numeric suffix."""
+    from PIL import Image
+
+    from fast_neural_style_transfer_tpu.infer import stylize_directory
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "imgs"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    for p in ("a/photo.jpg", "b/photo.jpg", "b/photo.png"):
+        Image.fromarray(
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)).save(src / p)
+
+    model = str(tmp_path / "m.npz")
+    save_params_npz(_params(), model)
+    outs = stylize_directory(model, str(src), str(tmp_path / "out"),
+                             batch_size=2)
+    assert len(outs) == 3
+    assert len(set(outs)) == 3, f"output paths collided: {outs}"
+    import os
+
+    for o in outs:
+        assert os.path.exists(o), o
+
+
+def test_stylizer_from_grad_accum_orbax_checkpoint(tmp_path):
+    """Orbax checkpoints from --grad_accum>1 runs wrap opt_state in
+    optax.MultiSteps; inference restore must not depend on the optimizer
+    topology the run used."""
+    from fast_neural_style_transfer_tpu.train.checkpoint import CheckpointManager
+    from fast_neural_style_transfer_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    params = _params()
+    opt = make_optimizer(1e-3, 100, grad_accum=4)
+    state = create_train_state(params, opt)
+    ckdir = str(tmp_path / "ckpts")
+    mgr = CheckpointManager(ckdir)
+    mgr.save(0, state)
+    mgr.close()
+
+    s = Stylizer.from_checkpoint(ckdir)
+    x = np.random.default_rng(0).normal(size=(1, 32, 32, 3)).astype(np.float32)
+    np.testing.assert_allclose(s(x), Stylizer(params)(x), rtol=1e-5, atol=1e-5)
+
+
 def test_int8_quantized_forward_agrees_with_f32():
     """int8 quantized inference must track the f32 forward closely even on
     a random-weight (worst-case, chaotic) network; instance norm after

@@ -122,3 +122,34 @@ def test_spatially_sharded_inference_unaligned_height():
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 52, 40, 3))
     out = stylize_spatial(params, x, plan)
     assert out.shape == (1, 52, 40, 3)
+
+
+def test_spatial_forward_cached_and_precision_forwarded():
+    """make_spatial_forward must return the SAME jitted callable for the
+    same (mesh, precision) — a fresh closure per call would recompile every
+    frame of a bulk job — and must honor the requested precision."""
+    from fast_neural_style_transfer_tpu.core.dtypes import Precision
+    from fast_neural_style_transfer_tpu.infer.spatial import (
+        make_spatial_forward,
+        stylize_spatial,
+    )
+
+    plan = make_mesh_plan(spatial=4)
+    f1 = make_spatial_forward(plan)
+    f2 = make_spatial_forward(plan)
+    assert f1 is f2
+    fb = make_spatial_forward(plan, precision=Precision.bf16())
+    assert fb is not f1
+
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3))
+    out_b = np.asarray(stylize_spatial(params, x, plan,
+                                       precision=Precision.bf16()))
+    want = np.asarray(jax.jit(
+        lambda p, v: TransformerNet.apply(p, v, train=False,
+                                          precision=Precision.bf16())
+    )(params, x))
+    np.testing.assert_allclose(out_b, want, rtol=2e-2, atol=2e-2)
+    # and bf16 compute actually diverges from f32 (i.e. the flag is live)
+    out_f = np.asarray(stylize_spatial(params, x, plan))
+    assert np.abs(out_b - out_f).max() > 0
