@@ -50,28 +50,10 @@ def _chain_time_ms(fn, x0, k: int) -> float:
     return (time.perf_counter() - t0) * 1000.0
 
 
-def bench_inference(chain: int = 20, samples: int = 5):
-    from fast_neural_style_transfer_tpu.core.dtypes import Precision
-    from fast_neural_style_transfer_tpu.models import TransformerNet
-
-    params = TransformerNet.init(jax.random.PRNGKey(0))
-    on_tpu = jax.devices()[0].platform == "tpu"
-    prec = Precision.bf16() if on_tpu else Precision.f32()
-    fwd = jax.jit(lambda v: TransformerNet.apply(params, v, train=False, precision=prec))
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 256, 256, 3)), jnp.float32)
-
-    _chain_time_ms(fwd, x, 2)  # compile + warm
-    rtt = _measure_rtt()
-    per_iter = []
-    for _ in range(samples):
-        total = _chain_time_ms(fwd, x, chain)
-        per_iter.append(max(total - rtt, 0.0) / chain)
-    return float(np.percentile(per_iter, 50)), rtt
-
-
-def bench_inference_batched(batch: int, chain: int = 10, samples: int = 3) -> float:
-    """Batched stylization throughput (images/sec/chip) at 256x256 — the
-    north-star unit (SURVEY.md §6). Device time via the chained method."""
+def _bench_forward_ms(batch: int, chain: int, samples: int):
+    """p50 device ms per 256x256 stylizer forward at ``batch`` (chained
+    method), plus the measured RTT. Single source of truth for both the
+    latency and throughput numbers."""
     from fast_neural_style_transfer_tpu.core.dtypes import Precision
     from fast_neural_style_transfer_tpu.models import TransformerNet
 
@@ -83,12 +65,23 @@ def bench_inference_batched(batch: int, chain: int = 10, samples: int = 3) -> fl
         np.random.default_rng(0).normal(size=(batch, 256, 256, 3)), jnp.float32
     )
     _chain_time_ms(fwd, x, 2)  # compile + warm
-    rtt = _measure_rtt(3)
+    rtt = _measure_rtt()
     per_iter = []
     for _ in range(samples):
         total = _chain_time_ms(fwd, x, chain)
         per_iter.append(max(total - rtt, 1e-6) / chain)
-    ms = float(np.percentile(per_iter, 50))
+    return float(np.percentile(per_iter, 50)), rtt
+
+
+def bench_inference(chain: int = 20, samples: int = 5):
+    """(p50 ms per single 256x256 image, tunnel RTT ms)."""
+    return _bench_forward_ms(1, chain, samples)
+
+
+def bench_inference_batched(batch: int, chain: int = 10, samples: int = 3) -> float:
+    """Batched stylization throughput (images/sec/chip) at 256x256 — the
+    north-star unit (SURVEY.md §6). Device time via the chained method."""
+    ms, _ = _bench_forward_ms(batch, chain, samples)
     return batch / (ms / 1000.0)
 
 

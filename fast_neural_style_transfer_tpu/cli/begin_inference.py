@@ -19,7 +19,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Content image for inference")
     p.add_argument("--content_dir", type=str, default=None,
                    help="Stylize every image under this directory instead "
-                        "(batched on device; outputs <stem>_stylized.jpg)")
+                        "(batched on device; outputs <relpath>_stylized.jpg, "
+                        "subdirectories mirrored)")
     p.add_argument("--batch_size", type=int, default=16,
                    help="Device batch size for --content_dir jobs")
     p.add_argument("--data_parallel", action="store_true",

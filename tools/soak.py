@@ -18,10 +18,32 @@ import subprocess
 import sys
 import time
 
-TOTAL_STEPS = 2200
-BATCH = 20
-CKPT_EVERY = 250
-SIGTERM_AFTER_S = None  # phase_a sends SIGTERM when metrics pass ~step 1000
+# Defaults reproduce the round-2 b20 drill; override via env for other
+# shapes (e.g. FNST_SOAK_BATCH=96 for the throughput-optimal batch —
+# DESIGN.md §8). phase_a persists the RESOLVED values to
+# <outdir>/soak_config.json and later phases read them back, so a
+# phase_b/report run without the env re-exported cannot silently resume
+# with different parameters than the run it is resuming.
+_DEFAULTS = {
+    "total_steps": int(os.environ.get("FNST_SOAK_STEPS", 2200)),
+    "batch": int(os.environ.get("FNST_SOAK_BATCH", 20)),
+    "ckpt_every": int(os.environ.get("FNST_SOAK_CKPT_EVERY", 250)),
+    "dataset_dir": os.environ.get("FNST_SOAK_DATASET", "/tmp/soak_ds"),
+}
+
+
+def _run_config(outdir: str, *, create: bool = False) -> dict:
+    """The run's resolved parameters: read from outdir if present, else the
+    env-resolved defaults (persisted there when ``create``)."""
+    path = os.path.join(outdir, "soak_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    if create:
+        os.makedirs(outdir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(_DEFAULTS, f)
+    return dict(_DEFAULTS)
 
 
 def make_dataset(root: str, n: int = 400) -> None:
@@ -49,15 +71,16 @@ def make_dataset(root: str, n: int = 400) -> None:
 def _cfg(outdir: str):
     from fast_neural_style_transfer_tpu.train.loop import TrainConfig
 
+    rc = _run_config(outdir)
     return TrainConfig(
         style_image="/root/reference/picasso.jpg",
-        dataset_dir="/tmp/soak_ds",
+        dataset_dir=rc["dataset_dir"],
         output_dir=outdir,
         monitor_image="/root/reference/dancing.jpg",
-        total_steps=TOTAL_STEPS,
-        batch_size=BATCH,
+        total_steps=rc["total_steps"],
+        batch_size=rc["batch"],
         precision="bf16",
-        checkpoint_every=CKPT_EVERY,
+        checkpoint_every=rc["ckpt_every"],
         log_every=50,
         monitor_every=500,
         max_checkpoints=100,   # keep the whole chain as evidence
@@ -123,11 +146,14 @@ def report(outdir: str) -> None:
 if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "dataset":
-        make_dataset(sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_ds",
+        # default target = the dir the phases will read (FNST_SOAK_DATASET)
+        make_dataset(sys.argv[2] if len(sys.argv) > 2
+                     else _DEFAULTS["dataset_dir"],
                      int(sys.argv[3]) if len(sys.argv) > 3 else 400)
     elif cmd == "phase_a":
-        run_phase(sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_out",
-                  kill_at_step=TOTAL_STEPS // 2)
+        outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_out"
+        rc = _run_config(outdir, create=True)  # pin params for later phases
+        run_phase(outdir, kill_at_step=rc["total_steps"] // 2)
     elif cmd == "phase_b":
         run_phase(sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_out")
     elif cmd == "report":
