@@ -233,6 +233,30 @@ def test_conv2d_same_s2d_s1_matches_direct(rng, k, cin, cout, h, w):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_conv2d_same_s2d_s1_int32_accum_is_integer_exact(rng):
+    """accum_dtype=int32 must flow through the s2d lowering (the int8
+    quantized path relies on integer-exact accumulation; an f32 accumulator
+    silently loses exactness past 2^24). Checked against an exact int64
+    numpy SAME conv."""
+    from fast_neural_style_transfer_tpu.ops.conv import _conv2d_same_s2d_s1
+
+    k, cin, cout, h, w = 9, 2, 3, 12, 16
+    xi = rng.integers(-128, 128, (1, h, w, cin)).astype(np.int8)
+    wi = rng.integers(-128, 128, (k, k, cin, cout)).astype(np.int8)
+    got = _conv2d_same_s2d_s1(jnp.asarray(xi), jnp.asarray(wi),
+                              accum_dtype=jnp.int32)
+    assert got.dtype == jnp.int32
+
+    p = k // 2
+    xp = np.pad(xi.astype(np.int64), ((0, 0), (p, p), (p, p), (0, 0)))
+    want = np.zeros((1, h, w, cout), np.int64)
+    for i in range(h):
+        for j in range(w):
+            patch = xp[0, i : i + k, j : j + k, :]
+            want[0, i, j] = np.tensordot(patch, wi.astype(np.int64), axes=3)
+    np.testing.assert_array_equal(np.asarray(got, np.int64), want)
+
+
 def test_conv2d_same_smallc_custom_vjp_matches_default(rng):
     """The small-C_in custom VJP (s2d dx) must equal XLA's default gradients
     in value AND in all three cotangents."""
