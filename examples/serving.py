@@ -1,0 +1,74 @@
+"""Serving patterns: the production inference paths on one host.
+
+Runs everywhere (forces CPU with a virtual 8-device mesh unless
+FNST_SERVING_DEVICE=tpu): demonstrates, in order,
+
+1. the uint8 device-roundtrip single-image path (what `fnst-infer` uses —
+   both transfer directions carry 1/4 the f32 bytes);
+2. batched equal-shape stylization through one compiled program;
+3. data-parallel batches sharded over every chip (params replicated;
+   XLA handles the collectives);
+4. height-sharded spatial inference for very large images
+   (halo-exchange forward, exact — not overlap-tiling).
+
+    python examples/serving.py [output_dir]
+"""
+
+import os
+import sys
+
+# run from a source checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("FNST_SERVING_DEVICE", "cpu") == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import numpy as np
+
+from fast_neural_style_transfer_tpu.infer import Stylizer, stylize_spatial
+from fast_neural_style_transfer_tpu.models import TransformerNet
+from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+from fast_neural_style_transfer_tpu.utils import save_image
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fnst_serving"
+os.makedirs(out_dir, exist_ok=True)
+rng = np.random.default_rng(0)
+
+# in production: Stylizer.from_checkpoint("run/style_transfer_final.npz")
+params = TransformerNet.init(jax.random.PRNGKey(0))
+
+# 1. single image, uint8 in -> uint8 out, normalize/denormalize on device
+sty = Stylizer(params)
+frame = rng.integers(0, 256, (300, 400, 3), dtype=np.uint8)
+out = sty.stylize_u8(frame)
+save_image(out.astype(np.float32) / 255.0, os.path.join(out_dir, "single.jpg"))
+print(f"1. single u8 roundtrip: {frame.shape} -> {out.shape} {out.dtype}")
+
+# 2. batched: equal-shape frames share one compiled program
+batch = rng.integers(0, 256, (8, 300, 400, 3), dtype=np.uint8)
+outs = sty.stylize_u8(batch)
+print(f"2. batched: {batch.shape} -> {outs.shape} (one compile, reused)")
+
+# 3. data-parallel over the mesh: batch dim sharded, params replicated
+plan = make_mesh_plan()
+dp = Stylizer(params, sharding=plan.batch_sharding)
+outs_dp = dp.stylize_u8(batch)  # batch of 8 -> 1 image per device here
+assert np.array_equal(np.asarray(outs_dp), np.asarray(outs))
+print(f"3. data-parallel over {plan.num_data_shards} devices: identical output")
+
+# 4. very large image: height sharded over a 'space' axis (halo exchange)
+sp_plan = make_mesh_plan(spatial=4)
+big = rng.standard_normal((1, 512, 256, 3)).astype(np.float32)
+out_sp = np.asarray(stylize_spatial(params, big, sp_plan))
+print(f"4. spatial (H over 4 shards): {big.shape} -> {out_sp.shape}")
+
+print(f"outputs under {out_dir}")
