@@ -139,7 +139,8 @@ def build_onnx_model(
     g.reflect_conv(h, "final_conv.conv", 9, 1, out=OUTPUT_NAME)
 
     # Output spatial dims equal the input's only when H/W are multiples of 4
-    # (the encoder floors, the decoder x4s). For symbolic dims declare
+    # (each stride-2 encoder conv ceils — out = ceil(h/2) — and the decoder
+    # x4s, so a 30-px input comes back as 32). For symbolic dims declare
     # DISTINCT out_* dim_params rather than asserting equality the graph
     # doesn't guarantee; static non-multiple-of-4 dims are rounded up.
     out_shape = list(input_shape)  # batch and channels are preserved exactly

@@ -15,7 +15,7 @@ blob of varints.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Sequence, Union
+from typing import Sequence, Union
 
 import numpy as np
 

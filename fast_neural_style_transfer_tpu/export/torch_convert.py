@@ -26,6 +26,7 @@ ConvTranspose2d stores weights (in, out, kh, kw); Conv2d stores
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Dict, List, Tuple
 
@@ -91,8 +92,28 @@ def from_torch_state_dict(state_dict: Dict[str, Any]) -> Params:
     return params
 
 
+# Torch key prefixes in the reference's MODULE REGISTRATION order
+# (model.py:24-47: conv1, norm1, conv2, norm2, res_blocks.{i}.(conv1, in1,
+# conv2, in2), up1, norm3, up2, norm4, final_conv). This order matters:
+# torch Adam's integer state ids index ``model.parameters()``, which follows
+# registration order, so a state_dict (and the optimizer ids derived from
+# it) must be emitted in exactly this sequence for the reference trainer to
+# pair each parameter with its own moments.
+_TORCH_PREFIX_ORDER: List[str] = (
+    ["conv1.conv", "norm1", "conv2.conv", "norm2"]
+    + [
+        f"res_blocks.{i}.{m}"
+        for i in range(NUM_RES_BLOCKS)
+        for m in ("conv1.conv", "in1", "conv2.conv", "in2")
+    ]
+    + ["up1.upsample_conv", "norm3", "up2.upsample_conv", "norm4",
+       "final_conv.conv"]
+)
+
+
 def to_torch_state_dict(params: Params) -> Dict[str, np.ndarray]:
-    """Our parameter pytree -> reference state_dict layout (NumPy values)."""
+    """Our parameter pytree -> reference state_dict layout (NumPy values),
+    keys in the reference's registration order (see _TORCH_PREFIX_ORDER)."""
     sd: Dict[str, np.ndarray] = {}
     for path, prefix, transpose in _CONV_MAP:
         node = _get(params, path)
@@ -104,7 +125,12 @@ def to_torch_state_dict(params: Params) -> Dict[str, np.ndarray]:
         node = _get(params, path)
         sd[prefix + ".weight"] = np.asarray(node["gamma"], np.float32)
         sd[prefix + ".bias"] = np.asarray(node["beta"], np.float32)
-    return sd
+    ordered: Dict[str, np.ndarray] = {}
+    for prefix in _TORCH_PREFIX_ORDER:
+        for leaf in (".weight", ".bias"):
+            ordered[prefix + leaf] = sd.pop(prefix + leaf)
+    assert not sd, f"unmapped keys: {list(sd)}"
+    return ordered
 
 
 def _set(params: Params, path, node) -> None:
@@ -114,12 +140,25 @@ def _set(params: Params, path, node) -> None:
     parent[path[-1]] = node
 
 
+def _load_torch_file(path: str):
+    """One ``torch.load`` per (path, mtime): the training start-up asks
+    ``is_torch_training_checkpoint`` and then immediately loads the same
+    multi-MB file for real — cache the deserialized object once, bounded."""
+    mtime = os.path.getmtime(path)
+    return _load_torch_cached(path, mtime)
+
+
+@functools.lru_cache(maxsize=1)
+def _load_torch_cached(path: str, _mtime: float):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
 def load_torch_checkpoint(path: str) -> Params:
     """Load a reference ``.pth``/``.bin`` (bare state_dict or training
     checkpoint dict with ``model_state_dict`` — train.py:272-279)."""
-    import torch
-
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    obj = _load_torch_file(path)
     if hasattr(obj, "state_dict"):  # the pickled-full-module .bin variant
         obj = obj.state_dict()
     if isinstance(obj, dict) and "model_state_dict" in obj:
@@ -134,9 +173,7 @@ def is_torch_training_checkpoint(path: str) -> bool:
     if not (os.path.isfile(path) and path.endswith((".pth", ".pt", ".bin"))):
         return False
     try:
-        import torch
-
-        obj = torch.load(path, map_location="cpu", weights_only=False)
+        obj = _load_torch_file(path)
     except Exception:
         return False
     return isinstance(obj, dict) and "optimizer_state_dict" in obj
@@ -162,9 +199,7 @@ def from_torch_training_checkpoint(path: str):
       correction; optax keeps one global count), falling back to
       ``iteration`` for params the optimizer never touched.
     """
-    import torch
-
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    obj = _load_torch_file(path)
     if not (isinstance(obj, dict) and "optimizer_state_dict" in obj):
         raise ValueError(
             f"{path} is not a reference training checkpoint "

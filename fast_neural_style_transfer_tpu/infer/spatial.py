@@ -71,16 +71,23 @@ def stylize_spatial(
 ) -> jnp.ndarray:
     """Stylize an NHWC batch with H sharded across the 'space' axis.
 
-    Pads H (reflect) to a multiple of 4 * n_shards, crops the output back.
+    Pads H (reflect; edge when the image is shorter than the pad) up to a
+    multiple of 4 * n_shards AND at least 8 rows per shard — the k9 encoder
+    conv's halo needs p+1 = 5 local rows, and 8 keeps every downstream
+    stride/halo constraint satisfied — then crops the output back.
     """
     n_shards = plan.mesh.shape[AXIS]
     mult = 4 * n_shards
     n, h, w, c = image.shape
-    ph = -h % mult
+    target_h = max(-(-h // mult) * mult, 8 * n_shards)
+    ph = target_h - h
     pw = -w % 4
     x = image
     if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        # jnp 'reflect' needs pad < dim; tiny images fall back to edge rows
+        # (the padded region is cropped away after the forward either way)
+        mode = "reflect" if (ph < h and pw < w) else "edge"
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
     fwd = make_spatial_forward(plan, precision=precision)
     out = fwd(params, x)
     if ph or pw:

@@ -16,14 +16,14 @@ semantics of channel dropout on the unsharded image.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from fast_neural_style_transfer_tpu.core.dtypes import Precision
 from fast_neural_style_transfer_tpu.models.transformer import DROPOUT_RATE, NUM_RES_BLOCKS
-from fast_neural_style_transfer_tpu.models.vgg import _CFG, ADDRESSABLE
+from fast_neural_style_transfer_tpu.models.vgg import tap_walk
 from fast_neural_style_transfer_tpu.ops import sharded as sh
 
 
@@ -78,36 +78,13 @@ def vgg_features_sharded(
     precision: Precision = Precision.f32(),
     axis: str = sh.AXIS,
 ) -> List[jnp.ndarray]:
-    """H-sharded mirror of VGG19Features.apply (models/vgg.py)."""
-    for t in taps:
-        if t not in ADDRESSABLE:
-            raise ValueError(f"unknown VGG19 tap {t!r}")
-    wanted = set(taps)
-    deepest = max(ADDRESSABLE.index(t) for t in taps)
-
-    acts: Dict[str, jnp.ndarray] = {}
-    h = x.astype(precision.compute_dtype)
-    pos = -1
-    for name, cout in _CFG:
-        if pos >= deepest:
-            break
-        if cout:
-            p = params[name]
-            h = sh.conv2d_same_sharded(h, p["w"], p["b"], axis=axis)
-            h = h.astype(precision.compute_dtype)
-            pos += 1
-            if name in wanted:
-                acts[name] = h
-            if pos >= deepest:
-                break
-            rname = "relu" + name[4:]
-            h = jax.nn.relu(h)
-            pos += 1
-            if rname in wanted:
-                acts[rname] = h
-        else:
-            h = sh.max_pool2d_sharded(h)
-            pos += 1
-            if name in wanted:
-                acts[name] = h
-    return [acts[t] for t in taps]
+    """H-sharded mirror of VGG19Features.apply: the same ``tap_walk`` with
+    halo-exchanging conv/pool primitives (models/vgg.py owns the walk)."""
+    return tap_walk(
+        params,
+        x,
+        taps,
+        conv_fn=lambda p, h: sh.conv2d_same_sharded(h, p["w"], p["b"], axis=axis),
+        pool_fn=sh.max_pool2d_sharded,
+        compute_dtype=precision.compute_dtype,
+    )

@@ -115,35 +115,62 @@ class VGG19Features:
         through frozen VGG into the stylizer — train.py:180,201); freezing means
         the caller never differentiates w.r.t. ``params``.
         """
-        for t in taps:
-            if t not in ADDRESSABLE:
-                raise ValueError(f"unknown VGG19 tap {t!r}; valid: {ADDRESSABLE}")
-        wanted = set(taps)
-        deepest = max(ADDRESSABLE.index(t) for t in taps)
+        return tap_walk(
+            params,
+            x,
+            taps,
+            conv_fn=lambda p, h: conv2d_same(
+                h, p["w"], p["b"], accum_dtype=precision.accum_dtype
+            ),
+            pool_fn=max_pool2d,
+            compute_dtype=precision.compute_dtype,
+        )
 
-        acts: Dict[str, jnp.ndarray] = {}
-        h = x.astype(precision.compute_dtype)
-        pos = -1
-        for name, cout in _CFG:
+
+def tap_walk(
+    params: Params,
+    x: jnp.ndarray,
+    taps: Sequence[str],
+    *,
+    conv_fn,
+    pool_fn,
+    compute_dtype,
+) -> List[jnp.ndarray]:
+    """The single VGG19 tap-walk, parameterized by its primitives.
+
+    Both the plain forward (``VGG19Features.apply``) and the H-sharded one
+    (``models/spatial.py::vgg_features_sharded``) are this walk with
+    different ``conv_fn(p, h)`` / ``pool_fn(h)``; keeping one copy means the
+    tap-addressing semantics (name-addressed, pre-/post-ReLU, early exit at
+    the deepest tap) cannot drift between them.
+    """
+    for t in taps:
+        if t not in ADDRESSABLE:
+            raise ValueError(f"unknown VGG19 tap {t!r}; valid: {ADDRESSABLE}")
+    wanted = set(taps)
+    deepest = max(ADDRESSABLE.index(t) for t in taps)
+
+    acts: Dict[str, jnp.ndarray] = {}
+    h = x.astype(compute_dtype)
+    pos = -1
+    for name, cout in _CFG:
+        if pos >= deepest:
+            break
+        if cout:
+            h = conv_fn(params[name], h).astype(compute_dtype)
+            pos += 1
+            if name in wanted:
+                acts[name] = h
             if pos >= deepest:
                 break
-            if cout:
-                p = params[name]
-                h = conv2d_same(h, p["w"], p["b"], accum_dtype=precision.accum_dtype)
-                h = h.astype(precision.compute_dtype)
-                pos += 1
-                if name in wanted:
-                    acts[name] = h
-                if pos >= deepest:
-                    break
-                rname = "relu" + name[4:]
-                h = jax.nn.relu(h)
-                pos += 1
-                if rname in wanted:
-                    acts[rname] = h
-            else:
-                h = max_pool2d(h)
-                pos += 1
-                if name in wanted:
-                    acts[name] = h
-        return [acts[t] for t in taps]
+            rname = "relu" + name[4:]
+            h = jax.nn.relu(h)
+            pos += 1
+            if rname in wanted:
+                acts[rname] = h
+        else:
+            h = pool_fn(h)
+            pos += 1
+            if name in wanted:
+                acts[name] = h
+    return [acts[t] for t in taps]

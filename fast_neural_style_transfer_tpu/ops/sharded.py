@@ -18,8 +18,6 @@ axis name passed as ``axis`` (default "space").
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import jax.numpy as jnp
 from jax import lax
 
@@ -43,6 +41,14 @@ def halo_extend(x: jnp.ndarray, p: int, *, mode: str, axis: str = AXIS) -> jnp.n
     torch ReflectionPad) or zeros (``mode='zero'``, torch Conv2d padding)."""
     if p == 0:
         return x
+    h = x.shape[1]
+    need = p + 1 if mode == "reflect" else p
+    if h < need:
+        raise ValueError(
+            f"local H slab of {h} rows is too small for a halo of p={p} "
+            f"({mode} mode needs >= {need} rows per shard); use fewer "
+            f"'{axis}' shards or a taller image"
+        )
     top_halo = from_prev(x[:, -p:], axis)
     bot_halo = from_next(x[:, :p], axis)
     if mode == "reflect":
@@ -70,6 +76,14 @@ def reflect_conv2d_sharded(x, w, b, *, stride: int = 1, axis: str = AXIS):
     """ReflectConv with H halo-exchanged; W reflect-padded locally."""
     k = w.shape[0]
     pad = k // 2
+    if stride > 1 and x.shape[1] % stride:
+        # stride-s windows must start at globally-aligned offsets on every
+        # shard; an odd local H would silently compute windows the unsharded
+        # conv never evaluates (and emit extra rows)
+        raise ValueError(
+            f"local H {x.shape[1]} not divisible by stride {stride}; "
+            f"sharded strided convs need stride-aligned slabs"
+        )
     x = halo_extend(x, pad, mode="reflect", axis=axis)
     x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
     out = _conv_valid(x, w, stride)

@@ -124,6 +124,70 @@ def test_spatially_sharded_inference_unaligned_height():
     assert out.shape == (1, 52, 40, 3)
 
 
+def test_spatial_tiny_image_pads_to_safe_local_height():
+    """H=32 over 8 'space' shards is only 4 local rows — fewer than the k9
+    encoder halo needs (p+1 = 5). stylize_spatial must pad to >=8 rows per
+    shard and still return the caller's shape (previously: an opaque
+    concatenate shape error)."""
+    from fast_neural_style_transfer_tpu.infer.spatial import stylize_spatial
+
+    plan = make_mesh_plan(spatial=8)
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 40, 3))
+    out = stylize_spatial(params, x, plan)
+    assert out.shape == (1, 32, 40, 3)
+
+
+def test_sharded_halo_rejects_too_small_slab():
+    """A local slab shorter than the halo must raise a clear error, not a
+    cryptic shape mismatch deep in concatenate."""
+    import pytest
+    from jax.sharding import PartitionSpec as P
+
+    from fast_neural_style_transfer_tpu.ops import sharded as sh
+    from fast_neural_style_transfer_tpu.parallel.mesh import shard_map_checked
+
+    plan = make_mesh_plan(spatial=4)
+    w = jnp.zeros((9, 9, 3, 8), jnp.float32)
+
+    def fwd(x):
+        return sh.reflect_conv2d_sharded(x, w, None, stride=1)
+
+    mapped = shard_map_checked(
+        fwd, plan.mesh,
+        in_specs=(P(None, "space", None, None),),
+        out_specs=P(None, "space", None, None),
+        check=False,
+    )
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)  # 4 local rows < p+1 = 5
+    with pytest.raises(ValueError, match="halo"):
+        jax.jit(mapped)(x)
+
+
+def test_sharded_strided_conv_rejects_unaligned_local_height():
+    import pytest
+    from jax.sharding import PartitionSpec as P
+
+    from fast_neural_style_transfer_tpu.ops import sharded as sh
+    from fast_neural_style_transfer_tpu.parallel.mesh import shard_map_checked
+
+    plan = make_mesh_plan(spatial=4)
+    w = jnp.zeros((3, 3, 3, 8), jnp.float32)
+
+    def fwd(x):
+        return sh.reflect_conv2d_sharded(x, w, None, stride=2)
+
+    mapped = shard_map_checked(
+        fwd, plan.mesh,
+        in_specs=(P(None, "space", None, None),),
+        out_specs=P(None, "space", None, None),
+        check=False,
+    )
+    x = jnp.zeros((1, 20, 16, 3), jnp.float32)  # 5 local rows, stride 2
+    with pytest.raises(ValueError, match="stride"):
+        jax.jit(mapped)(x)
+
+
 def test_spatial_forward_cached_and_precision_forwarded():
     """make_spatial_forward must return the SAME jitted callable for the
     same (mesh, precision) — a fresh closure per call would recompile every

@@ -197,6 +197,44 @@ def test_round_trip_back_to_torch(ref_checkpoint, tmp_path):
         )
 
 
+def test_exported_checkpoint_steps_in_reference_trainer(ref_checkpoint, tmp_path):
+    """The reference trainer must be able to CONTINUE from our exported
+    checkpoint. torch Adam's integer state ids index model.parameters() in
+    REGISTRATION order (conv1, norm1, conv2, norm2, ...), so the exported
+    state_dict/ids must follow that order or every parameter gets another
+    parameter's moments — load_state_dict accepts that silently and the
+    first opt.step() explodes (or silently corrupts where shapes collide)."""
+    path, _, _ = ref_checkpoint
+    optimizer = make_optimizer(1e-3, 100)
+    state = state_from_reference_checkpoint(path, optimizer)
+    mu, nu, count = extract_adam_moments(state.opt_state)
+    out = tmp_path / "exported_step.pth"
+    save_torch_training_checkpoint(
+        state.params, mu, nu, count, int(state.step), str(out)
+    )
+
+    net2 = _load_ref_model().StyleTransferNet()
+    ckpt = torch.load(out, map_location="cpu", weights_only=False)
+    # key order must equal torch's own registration order
+    assert list(ckpt["model_state_dict"].keys()) == list(net2.state_dict().keys())
+    net2.load_state_dict(ckpt["model_state_dict"])
+    opt2 = torch.optim.Adam(net2.parameters(), lr=1e-3, weight_decay=1e-5)
+    opt2.load_state_dict(ckpt["optimizer_state_dict"])
+
+    # every optimizer-state tensor must shadow its own parameter
+    params_in_order = list(net2.parameters())
+    st = opt2.state_dict()["state"]
+    assert len(st) == len(params_in_order)
+    for i, p in enumerate(params_in_order):
+        assert tuple(st[i]["exp_avg"].shape) == tuple(p.shape), f"id {i}"
+
+    # and the trainer actually continues: backward + step must succeed
+    net2.train()
+    opt2.zero_grad()
+    (net2(torch.randn(1, 3, 32, 32)) ** 2).mean().backward()
+    opt2.step()
+
+
 def test_grad_accum_resume_scales_micro_steps(ref_checkpoint):
     path, _, _ = ref_checkpoint
     optimizer = make_optimizer(1e-3, 100, grad_accum=4)
