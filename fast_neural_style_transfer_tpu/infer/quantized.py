@@ -120,31 +120,42 @@ def _qconv_transpose(qp, x):
     return y.astype(jnp.float32) * (sx * qp["scale"]) + qp["b"]
 
 
+def _walk_forward(tree: Any, h: jnp.ndarray, *, conv, up, inorm) -> jnp.ndarray:
+    """The stylizer's eval-mode layer topology, once.
+
+    ``conv(name, p, v, stride)`` / ``up(name, p, v)`` / ``inorm(v, p, relu)``
+    supply the primitives: the int8 forward and the float calibration pass
+    are the SAME walk with different callables, so the layer order (which
+    static ``act_scale`` attaches to which conv) cannot drift between them.
+    Mirrors TransformerNet.apply (models/transformer.py:99-155; dropout is
+    train-only so the int8 path has none)."""
+    h = inorm(conv("conv1", tree["conv1"], h, 2), tree["norm1"], relu=True)
+    h = inorm(conv("conv2", tree["conv2"], h, 2), tree["norm2"], relu=True)
+    for i, rb in enumerate(tree["res_blocks"]):
+        y = inorm(conv(f"res_blocks.{i}.conv1", rb["conv1"], h, 1),
+                  rb["in1"], relu=True)
+        y = inorm(conv(f"res_blocks.{i}.conv2", rb["conv2"], y, 1),
+                  rb["in2"], relu=False)
+        h = h + y
+    h = inorm(up("up1", tree["up1"], h), tree["norm3"], relu=True)
+    h = inorm(up("up2", tree["up2"], h), tree["norm4"], relu=True)
+    return conv("final_conv", tree["final_conv"], h, 1)
+
+
 def apply_int8(qparams: Any, x: jnp.ndarray, *,
                norm_method: str = "auto") -> jnp.ndarray:
-    """Eval-mode NHWC forward mirroring TransformerNet.apply
-    (models/transformer.py:99-155; dropout is train-only so the int8 path
-    has none). Input/output in network space, float."""
+    """Eval-mode NHWC int8 forward. Input/output in network space, float."""
     in_dtype = x.dtype
     h = jnp.asarray(x, jnp.float32)
-
-    def inorm(v, p, *, relu):
-        return instance_norm(v, p["gamma"], p["beta"], relu=relu,
-                             method=norm_method)
-
-    h = inorm(_qreflect_conv(qparams["conv1"], h, stride=2),
-              qparams["norm1"], relu=True)
-    h = inorm(_qreflect_conv(qparams["conv2"], h, stride=2),
-              qparams["norm2"], relu=True)
-    for rb in qparams["res_blocks"]:
-        y = inorm(_qreflect_conv(rb["conv1"], h), rb["in1"], relu=True)
-        y = inorm(_qreflect_conv(rb["conv2"], y), rb["in2"], relu=False)
-        h = h + y
-    h = inorm(_qconv_transpose(qparams["up1"], h), qparams["norm3"],
-              relu=True)
-    h = inorm(_qconv_transpose(qparams["up2"], h), qparams["norm4"],
-              relu=True)
-    out = _qreflect_conv(qparams["final_conv"], h)
+    out = _walk_forward(
+        qparams,
+        h,
+        conv=lambda name, p, v, stride: _qreflect_conv(p, v, stride=stride),
+        up=lambda name, p, v: _qconv_transpose(p, v),
+        inorm=lambda v, p, relu: instance_norm(
+            v, p["gamma"], p["beta"], relu=relu, method=norm_method
+        ),
+    )
     return out.astype(in_dtype)
 
 
@@ -173,46 +184,33 @@ def calibrate(qparams: Any, params: Any, sample: jnp.ndarray,
     let XLA fuse the quantize step into the producing op's epilogue —
     dynamic quantization's per-layer max-reduce serializes an extra full
     pass over every activation, which cost more than the int8 conv saving
-    (measured: dynamic int8 forward 0.78-0.95x of bf16 on v5e)."""
-    import numpy as np
+    (measured: dynamic int8 forward 0.78-0.95x of bf16 on v5e).
 
-    from fast_neural_style_transfer_tpu.models import TransformerNet
-
+    Runs the SAME ``_walk_forward`` topology as ``apply_int8`` (with float
+    primitives that record each conv's input max-abs), so scales cannot
+    attach to the wrong layer."""
     maxes = {}
-    h = jnp.asarray(sample, jnp.float32)
 
     def record(name, v):
         maxes[name] = float(jnp.max(jnp.abs(v)))
         return v
 
-    def cin(p, v, *, stride=1):
-        return reflect_conv2d(v, jnp.asarray(p["w"], jnp.float32),
-                              jnp.asarray(p["b"], jnp.float32),
-                              stride=stride)
-
-    def ctr(p, v):
-        return conv_transpose2d(v, jnp.asarray(p["w"], jnp.float32),
-                                jnp.asarray(p["b"], jnp.float32), stride=2,
-                                padding=1, output_padding=1)
-
-    def inorm(v, p, *, relu):
-        return instance_norm(v, p["gamma"], p["beta"], relu=relu)
-
-    record("conv1", h)
-    h = inorm(cin(params["conv1"], h, stride=2), params["norm1"], relu=True)
-    record("conv2", h)
-    h = inorm(cin(params["conv2"], h, stride=2), params["norm2"], relu=True)
-    for i, rb in enumerate(params["res_blocks"]):
-        record(f"res_blocks.{i}.conv1", h)
-        y = inorm(cin(rb["conv1"], h), rb["in1"], relu=True)
-        record(f"res_blocks.{i}.conv2", y)
-        y = inorm(cin(rb["conv2"], y), rb["in2"], relu=False)
-        h = h + y
-    record("up1", h)
-    h = inorm(ctr(params["up1"], h), params["norm3"], relu=True)
-    record("up2", h)
-    h = inorm(ctr(params["up2"], h), params["norm4"], relu=True)
-    record("final_conv", h)
+    _walk_forward(
+        params,
+        jnp.asarray(sample, jnp.float32),
+        conv=lambda name, p, v, stride: reflect_conv2d(
+            record(name, v), jnp.asarray(p["w"], jnp.float32),
+            jnp.asarray(p["b"], jnp.float32), stride=stride,
+        ),
+        up=lambda name, p, v: conv_transpose2d(
+            record(name, v), jnp.asarray(p["w"], jnp.float32),
+            jnp.asarray(p["b"], jnp.float32), stride=2,
+            padding=1, output_padding=1,
+        ),
+        inorm=lambda v, p, relu: instance_norm(
+            v, p["gamma"], p["beta"], relu=relu
+        ),
+    )
 
     out = jax.tree.map(lambda v: v, qparams)  # shallow-ish copy
     for name in _CONV_ORDER:

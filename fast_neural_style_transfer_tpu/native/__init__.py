@@ -70,7 +70,9 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ]
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # OSError: unloadable .so; AttributeError: a stale/foreign
+            # library missing the ABI symbol — both mean "use the fallback"
             _lib = None
         return _lib
 
@@ -97,12 +99,18 @@ def normalize_batch(u8: np.ndarray, *, n_threads: int = 4) -> np.ndarray:
 
 
 def resize_bilinear(img: np.ndarray, dh: int, dw: int, *, n_threads: int = 1) -> np.ndarray:
-    """(h, w, 3) uint8 -> (dh, dw, 3) uint8 bilinear (half-pixel centers)."""
+    """(h, w, 3) uint8 -> (dh, dw, 3) uint8 bilinear (half-pixel centers).
+
+    The native kernel is a fixed 2-tap bilinear, which matches PIL only when
+    enlarging; PIL's BILINEAR widens its filter support on reduction
+    (antialiasing), so DOWNSCALES always take the PIL path — otherwise the
+    two implementations would diverge by tens of gray levels on photos and
+    results would depend on whether a host has a C++ toolchain."""
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3
     sh, sw, _ = img.shape
     if (sh, sw) == (dh, dw):
         return img
-    lib = _load()
+    lib = None if (dh < sh or dw < sw) else _load()
     if lib is None:
         from PIL import Image
 

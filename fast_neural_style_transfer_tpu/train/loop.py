@@ -91,6 +91,16 @@ class TrainConfig:
 def train_style_transfer(cfg: TrainConfig) -> str:
     """Run training; returns the path of the final params artifact."""
     os.makedirs(cfg.output_dir, exist_ok=True)
+    if cfg.image_size[0] % 4 or cfg.image_size[1] % 4:
+        # the stylizer's two stride-2 encoder convs ceil and the decoder x4s,
+        # so non-multiple-of-4 training sizes come back at a different
+        # resolution than the content batch: either an opaque shape error
+        # inside jit (odd sizes) or, worse, silently misregistered content
+        # features (e.g. 250 -> 252). Refuse early with the reason.
+        raise ValueError(
+            f"image_size {cfg.image_size} must be a multiple of 4 in both "
+            "dims (stylizer downsamples 4x and upsamples back)"
+        )
     prec = canonical_compute_dtype(cfg.precision)
     taps = LossTaps(
         style_taps=tuple(cfg.style_taps),
@@ -294,16 +304,25 @@ def train_style_transfer(cfg: TrainConfig) -> str:
                 print(f"checkpoint saved at step {step}", flush=True)
     finally:
         # preemption/exception safety: always stop tracing, flush metrics,
-        # and leave a restorable checkpoint behind
+        # and leave a restorable checkpoint behind. Each cleanup step is
+        # isolated: a device-side failure can surface inside flush's D2H
+        # fetches, and that must not mask the original exception or abort
+        # the checkpoint save / handler restore behind it.
+        def _cleanup(what, fn):
+            try:
+                fn()
+            except Exception as e:
+                print(f"cleanup: {what} failed: {e!r}", flush=True)
+
         if profiling:
-            jax.profiler.stop_trace()
+            _cleanup("profiler stop", jax.profiler.stop_trace)
         if logger.pending:
-            logger.flush(step)
+            _cleanup("metrics flush", lambda: logger.flush(step))
         if step > start_step and ckpt.latest_step() != step:
-            ckpt.save(step, state)
-        ckpt.wait()
-        logger.close()
-        ckpt.close()
+            _cleanup("final checkpoint", lambda: ckpt.save(step, state))
+        _cleanup("checkpoint wait", ckpt.wait)
+        _cleanup("logger close", logger.close)
+        _cleanup("checkpoint close", ckpt.close)
         if handler_installed:
             # prev_handler may be None (handler installed from C) — restore
             # the default in that case rather than leaking our handler

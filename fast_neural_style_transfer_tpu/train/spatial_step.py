@@ -180,6 +180,9 @@ def make_spatial_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["lr"] = lr_fn(applied_step)
         metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
-        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+        # as in train/step.py: a skipped step advances nothing, keeping
+        # state.step aligned with the optimizer's reverted schedule count
+        new_step = state.step + finite.astype(state.step.dtype)
+        return TrainState(new_params, new_opt_state, new_step), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

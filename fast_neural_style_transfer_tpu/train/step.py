@@ -40,12 +40,12 @@ from fast_neural_style_transfer_tpu.train.schedule import (
 )
 from fast_neural_style_transfer_tpu.train.state import TrainState
 
-ACTIVATION_CLAMP = 3.0
+from fast_neural_style_transfer_tpu.utils.image_io import (
+    IMAGENET_MEAN as _IMAGENET_MEAN,
+    IMAGENET_STD as _IMAGENET_STD,
+)
 
-# torchvision ImageNet stats (utils/image_io.py's canonical preprocess,
-# reference /root/reference/train.py:92-102)
-_IMAGENET_MEAN = (0.485, 0.456, 0.406)
-_IMAGENET_STD = (0.229, 0.224, 0.225)
+ACTIVATION_CLAMP = 3.0
 
 
 def normalize_u8_batch(batch: jnp.ndarray) -> jnp.ndarray:
@@ -166,8 +166,14 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["lr"] = lr_schedule(applied_step)
         metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
+        # a skipped step advances NOTHING: opt state was reverted above, so
+        # the step counter must hold too or every schedule keyed on
+        # state.step (lr metric, loss weights) would run one step ahead of
+        # the optimizer's own reverted cosine count per skip, permanently
         new_state = TrainState(
-            params=new_params, opt_state=new_opt_state, step=state.step + 1
+            params=new_params,
+            opt_state=new_opt_state,
+            step=state.step + finite.astype(state.step.dtype),
         )
         return new_state, metrics
 

@@ -45,9 +45,16 @@ class MetricLogger:
 
     def flush(self, step: int, extra: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         """Emit running means since the last flush; reset accumulators.
-        This is the (only) point that synchronizes on the device metrics."""
+        This is the (only) point that synchronizes on the device metrics —
+        ONE batched device_get of everything pending, not a float() per
+        scalar (print_every x num_metrics serial round trips would each pay
+        the full transfer latency; measured ~30 ms apiece on the tunneled
+        dev TPU)."""
+        import jax
+
+        pending = jax.device_get(self._pending)
         sums: Dict[str, float] = defaultdict(float)
-        for m in self._pending:
+        for m in pending:
             for k, v in m.items():
                 sums[k] += float(v)
         count = len(self._pending)

@@ -16,13 +16,26 @@ DEFAULT_CURVES = ("loss", "content_loss", "style_loss", "tv_loss")
 
 
 def read_metrics(jsonl_path: str) -> List[Dict]:
-    records = []
+    """Parse metrics.jsonl tolerantly: the file is appended to across
+    resumes, so (a) a preemption can truncate the final line mid-write —
+    skip unparseable lines instead of failing the whole plot — and (b) a
+    resume from an earlier checkpoint can re-log steps already present —
+    keep the LAST record per step (the one that superseded the rolled-back
+    range) and return records in step order."""
+    by_step: Dict = {}
+    order = 0
     with open(jsonl_path) as fh:
         for line in fh:
             line = line.strip()
-            if line:
-                records.append(json.loads(line))
-    return records
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn final line from a preempted writer
+            by_step[rec.get("step", order)] = rec
+            order += 1
+    return [by_step[s] for s in sorted(by_step)]
 
 
 def plot_loss_curves(

@@ -102,6 +102,18 @@ def test_num_epochs_bounds_training(workspace):
     assert records[-1]["step"] == 2
 
 
+def test_training_rejects_non_multiple_of_4_image_size(tmp_path):
+    """Non-multiple-of-4 training sizes either crash opaquely inside jit
+    (odd) or silently train on misregistered content features (e.g. 250 ->
+    252); the loop must refuse them up front with the reason."""
+    cfg = TrainConfig(
+        style_image="unused.jpg", dataset_dir="unused",
+        output_dir=str(tmp_path), image_size=(255, 255),
+    )
+    with pytest.raises(ValueError, match="multiple of 4"):
+        train_style_transfer(cfg)
+
+
 def test_cli_parsers_flag_parity():
     from fast_neural_style_transfer_tpu.cli.begin_inference import (
         build_parser as infer_parser,

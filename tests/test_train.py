@@ -93,13 +93,20 @@ def test_train_step_nan_guard_keeps_params():
     bad = batch.at[0, 0, 0, 0].set(jnp.nan)
     new_state, metrics = step(state, vgg, bad, grams, jax.random.PRNGKey(1))
     assert float(metrics["skipped_nonfinite"]) == 1.0
-    # params unchanged, step still advances
+    # params unchanged, and the step counter holds too: the optimizer state
+    # (with its internal schedule count) was reverted, so state.step must
+    # not run ahead of it or every schedule keyed on state.step would be
+    # permanently offset from the LR the optimizer applies
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         new_state.params,
         state.params,
     )
-    assert int(new_state.step) == int(state.step) + 1
+    assert int(new_state.step) == int(state.step)
+    # a subsequent good batch advances normally
+    state2, m2 = step(new_state, vgg, batch, grams, jax.random.PRNGKey(2))
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert int(state2.step) == int(new_state.step) + 1
 
 
 def test_optimizer_matches_torch_adam_recipe():

@@ -47,6 +47,26 @@ def test_plot_loss_curves(tmp_path):
     assert len(read_metrics(path)) == 5
 
 
+def test_read_metrics_tolerates_resume_overlap_and_torn_line(tmp_path):
+    """metrics.jsonl is append-mode across resumes: a resume from an earlier
+    checkpoint re-logs overlapping steps (keep the LAST record per step,
+    sorted), and a preemption can tear the final line mid-write (skip it)."""
+    path = str(tmp_path / "metrics.jsonl")
+    with open(path, "w") as fh:
+        for step in (100, 200, 300):
+            fh.write(json.dumps({"step": step, "loss": float(step)}) + "\n")
+        # resumed run re-logs 200/300 with new values, then gets torn
+        for step in (200, 300, 400):
+            fh.write(json.dumps({"step": step, "loss": float(step) + 0.5}) + "\n")
+        fh.write('{"step": 500, "los')  # torn final line
+    recs = read_metrics(path)
+    assert [r["step"] for r in recs] == [100, 200, 300, 400]
+    assert recs[1]["loss"] == 200.5  # post-resume record wins
+    # plotting over the cleaned records works
+    written = plot_loss_curves(path, str(tmp_path), curves=("loss",))
+    assert len(written) == 1
+
+
 def test_package_for_hub(tmp_path):
     params = TransformerNet.init(jax.random.PRNGKey(0))
     out = package_for_hub(params, str(tmp_path / "hub"), metadata={"steps": 10})
