@@ -53,6 +53,12 @@ def main(argv=None) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, args.output_name)
     if args.content_dir:
+        if args.spatial > 1:
+            raise SystemExit(
+                "--content_dir and --spatial cannot be combined yet; run "
+                "spatial jobs per image, or use --data_parallel to use all "
+                "chips on directory batches"
+            )
         from fast_neural_style_transfer_tpu.infer import stylize_directory
 
         written = stylize_directory(

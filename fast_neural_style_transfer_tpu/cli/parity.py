@@ -81,7 +81,7 @@ def run_parity(
         load_image,
         save_image,
     )
-    from fast_neural_style_transfer_tpu.utils.ssim import ssim, ssim_files
+    from fast_neural_style_transfer_tpu.utils.ssim import ssim
 
     if mode not in ("reference-exact", "canonical"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -110,13 +110,18 @@ def run_parity(
     result["pass"] = bool(result["value"] >= result["threshold"])
 
     if reference_sample:
-        if output_dir is None:
-            output_dir = "."
-        os.makedirs(output_dir, exist_ok=True)
-        ours_path = os.path.join(output_dir, "parity_ours.jpg")
-        save_image(our_img, ours_path, denormalize=False)
+        # score in memory — writing files is --output_dir's job only (no
+        # surprise images dropped into cwd)
+        from fast_neural_style_transfer_tpu.utils.image_io import (
+            decode_image,
+            resize_image,
+        )
+
+        samp = decode_image(reference_sample)
+        if samp.shape[:2] != our_img.shape[:2]:
+            samp = resize_image(samp, our_img.shape[:2])
         result["ssim_vs_sample_file"] = round(
-            ssim_files(ours_path, reference_sample), 6
+            ssim(our_img, samp / 255.0), 6
         )
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)

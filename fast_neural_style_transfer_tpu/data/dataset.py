@@ -41,7 +41,7 @@ class ImageFolderDataset:
         self.root = root
         self.image_size = image_size
         self.files = scan_image_files(root)
-        self._rng = random.Random(seed)
+        self.seed = seed
         if not self.files:
             raise FileNotFoundError(f"no images ({'/'.join(IMAGE_EXTENSIONS)}) under {root}")
         print(f"dataset: {len(self.files)} images under {root}", flush=True)
@@ -51,12 +51,20 @@ class ImageFolderDataset:
 
     def __getitem__(self, idx: int) -> np.ndarray:
         """uint8 (h, w, 3); on decode error retry a random other image
-        (bounded, unlike the reference's unbounded recursion)."""
-        for _ in range(16):
+        (bounded, unlike the reference's unbounded recursion).
+
+        The substitute draw is seeded by (dataset seed, failing index) —
+        NOT the shared instance RNG — so concurrent decode threads (the
+        InputPipeline pool) can't make substitution depend on scheduler
+        order: same seed, same corrupt file -> same substitute, every run."""
+        sub_rng = None
+        for attempt in range(16):
             try:
                 img = decode_image(self.files[idx])
                 return resize_image(img, self.image_size)
             except Exception as e:  # corrupt file — substitute another
                 print(f"decode failed for {self.files[idx]}: {e}; substituting", flush=True)
-                idx = self._rng.randrange(len(self.files))
+                if sub_rng is None:
+                    sub_rng = random.Random(f"{self.seed}:{idx}")
+                idx = sub_rng.randrange(len(self.files))
         raise RuntimeError("16 consecutive image decode failures — dataset unusable")

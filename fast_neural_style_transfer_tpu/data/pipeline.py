@@ -53,6 +53,11 @@ class InputPipeline:
     ):
         if transport not in ("u8", "f32"):
             raise ValueError(f"transport must be 'u8' or 'f32': {transport!r}")
+        if prefetch < 1:
+            # queue.Queue(maxsize=0) means UNBOUNDED — the opposite of "no
+            # prefetch": the producer would transfer the whole epoch to
+            # device ahead of the consumer
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
         if global_batch_size % jax.process_count() != 0:
             raise ValueError(
                 f"global batch {global_batch_size} not divisible by "

@@ -40,6 +40,7 @@ Files:
 def package_for_hub(params: Any, out_dir: str, *, metadata: Optional[dict] = None) -> str:
     os.makedirs(out_dir, exist_ok=True)
     # 1. reference-compatible torch weights
+    have_pth = True
     try:
         import torch
 
@@ -49,16 +50,28 @@ def package_for_hub(params: Any, out_dir: str, *, metadata: Optional[dict] = Non
         }
         torch.save(sd, os.path.join(out_dir, "pytorch_model.pth"))
     except ImportError:
-        pass  # torch-free host: npz + onnx still written
+        # torch-free host: npz + onnx still written — but say so, and do
+        # not advertise the missing file in the model card
+        have_pth = False
+        print(
+            "package_for_hub: torch not importable — pytorch_model.pth "
+            "omitted from the package",
+            flush=True,
+        )
     # 2. native params
     from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
 
     save_params_npz(params, os.path.join(out_dir, "params.npz"))
     # 3. ONNX
     export_onnx(params, os.path.join(out_dir, "model.onnx"))
-    # 4. card + metadata
+    # 4. card + metadata — the card lists only files actually written
+    card = _CARD
+    if not have_pth:
+        card = "\n".join(
+            l for l in card.splitlines() if "pytorch_model.pth" not in l
+        ) + "\n"
     with open(os.path.join(out_dir, "README.md"), "w") as fh:
-        fh.write(_CARD)
+        fh.write(card)
     if metadata:
         with open(os.path.join(out_dir, "config.json"), "w") as fh:
             json.dump(metadata, fh, indent=2)

@@ -184,26 +184,52 @@ def run_model(data: bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarray]:
             rank = np.asarray(x).ndim
             pairs = [(int(pads[d]), int(pads[d + rank])) for d in range(rank)]
             mode = attrs.get("mode", "constant")
+            if isinstance(mode, bytes):
+                mode = mode.decode()
+            if mode not in ("constant", "reflect"):
+                raise NotImplementedError(f"ONNX Pad mode {mode!r} not supported")
             out = jnp.pad(jnp.asarray(x), pairs, mode="reflect" if mode == "reflect" else "constant")
         elif op == "Conv":
             x, w = jnp.asarray(env[ins[0]]), jnp.asarray(env[ins[1]])  # x NCHW, w OIHW
             b = jnp.asarray(env[ins[2]]) if len(ins) > 2 else None
-            s = attrs.get("strides", [1, 1])[0]
+            strides = attrs.get("strides", [1, 1])
+            # semantics-bearing attributes this runner does not implement
+            # must REJECT, not silently execute wrong (a pads-attribute conv
+            # run as VALID would shrink every output by k-1)
+            if any(attrs.get("pads", [])):
+                raise NotImplementedError(
+                    "ONNX Conv pads attribute not supported (this runner "
+                    "expects explicit Pad nodes, as our exporter emits)"
+                )
+            if any(d != 1 for d in attrs.get("dilations", [1, 1])):
+                raise NotImplementedError("ONNX Conv dilations not supported")
+            if attrs.get("group", 1) != 1:
+                raise NotImplementedError("ONNX Conv group != 1 not supported")
+            if len(set(strides)) > 1:
+                raise NotImplementedError(f"anisotropic Conv strides {strides}")
             w_hwio = jnp.transpose(w, (2, 3, 1, 0))
-            out = _conv(_nhwc(x), w_hwio, s, "VALID")
+            out = _conv(_nhwc(x), w_hwio, strides[0], "VALID")
             if b is not None:
                 out = out + b
             out = _nchw(out)
         elif op == "ConvTranspose":
             x, w = jnp.asarray(env[ins[0]]), jnp.asarray(env[ins[1]])  # w IOHW
             b = jnp.asarray(env[ins[2]]) if len(ins) > 2 else None
-            s = attrs.get("strides", [1, 1])[0]
-            p = attrs.get("pads", [0, 0, 0, 0])[0]
-            op_pad = attrs.get("output_padding", [0, 0])[0]
+            strides = attrs.get("strides", [1, 1])
+            pads = attrs.get("pads", [0, 0, 0, 0])
+            op_pads = attrs.get("output_padding", [0, 0])
+            if attrs.get("group", 1) != 1:
+                raise NotImplementedError("ConvTranspose group != 1 not supported")
+            if len(set(pads)) > 1 or len(set(strides)) > 1 or len(set(op_pads)) > 1:
+                raise NotImplementedError(
+                    f"asymmetric ConvTranspose pads/strides/output_padding "
+                    f"not supported: pads={pads} strides={strides} "
+                    f"output_padding={op_pads}"
+                )
             w_hwio = jnp.transpose(w, (2, 3, 0, 1))
             out = _nchw(
-                conv_transpose2d(_nhwc(x), w_hwio, b, stride=s, padding=p,
-                                 output_padding=op_pad)
+                conv_transpose2d(_nhwc(x), w_hwio, b, stride=strides[0],
+                                 padding=pads[0], output_padding=op_pads[0])
             )
         elif op == "InstanceNormalization":
             x, scale, bias = (jnp.asarray(env[i]) for i in ins)

@@ -125,6 +125,15 @@ class Stylizer:
 
             params = load_torch_checkpoint(path)
         else:
+            import os
+
+            if not os.path.isdir(path):
+                # CheckpointManager would mkdir the path as a side effect and
+                # then complain about the empty directory it just created
+                raise FileNotFoundError(
+                    f"no such checkpoint: {path} (expected a .npz/.pth file "
+                    "or an Orbax checkpoint directory)"
+                )
             from fast_neural_style_transfer_tpu.train.checkpoint import CheckpointManager
 
             # params-only restore: works regardless of the optimizer topology
@@ -253,13 +262,17 @@ def stylize_directory(
         u8 = decode_image(path)
         return resize_image(u8, size) if size is not None else u8
 
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        imgs = list(pool.map(dec, files))
-
-    # group equal shapes so each group runs as one (or few) device batches
+    # group equal shapes WITHOUT decoding pixels (PIL reads only the header
+    # for .size) so a 100k-image bulk job never holds more than one chunk of
+    # decoded images in host RAM; with a fixed --size everything is one group
     groups: Dict[Tuple[int, int], list] = {}
-    for i, im in enumerate(imgs):
-        groups.setdefault(im.shape[:2], []).append(i)
+    if size is not None:
+        groups[tuple(size)] = list(range(len(files)))
+    else:
+        for i, f in enumerate(files):
+            with Image.open(f) as im:
+                w, h = im.size
+            groups.setdefault((h, w), []).append(i)
 
     # one output path per input, collision-free: mirror the relative path
     # under output_dir, then uniquify any residual same-stem clash
@@ -276,20 +289,23 @@ def stylize_directory(
         out_paths[i] = path
 
     written = [None] * len(files)
-    for idxs in groups.values():
-        for at in range(0, len(idxs), batch_size):
-            chunk = idxs[at:at + batch_size]
-            # wrap-pad short chunks to a full batch: one compiled program
-            # per shape bucket, and the leading dim always divides the
-            # data axis under data_parallel
-            fill = chunk + chunk[: batch_size - len(chunk)]
-            while len(fill) < batch_size:
-                fill = fill + chunk[: batch_size - len(fill)]
-            batch = np.stack([imgs[i] for i in fill])
-            outs = stylizer.stylize_u8(batch)[: len(chunk)]
-            for i, out in zip(chunk, outs):
-                path = out_paths[i]
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                Image.fromarray(out).save(path)
-                written[i] = path
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for idxs in groups.values():
+            for at in range(0, len(idxs), batch_size):
+                chunk = idxs[at:at + batch_size]
+                # decode just this chunk (memory bound = batch_size images)
+                imgs = dict(zip(chunk, pool.map(dec, [files[i] for i in chunk])))
+                # wrap-pad short chunks to a full batch: one compiled program
+                # per shape bucket, and the leading dim always divides the
+                # data axis under data_parallel
+                fill = chunk + chunk[: batch_size - len(chunk)]
+                while len(fill) < batch_size:
+                    fill = fill + chunk[: batch_size - len(fill)]
+                batch = np.stack([imgs[i] for i in fill])
+                outs = stylizer.stylize_u8(batch)[: len(chunk)]
+                for i, out in zip(chunk, outs):
+                    path = out_paths[i]
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    Image.fromarray(out).save(path)
+                    written[i] = path
     return written

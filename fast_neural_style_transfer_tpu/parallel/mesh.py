@@ -45,10 +45,6 @@ class MeshPlan:
     mesh: Mesh
 
     @property
-    def data_axis(self) -> str:
-        return "data"
-
-    @property
     def batch_sharding(self) -> NamedSharding:
         """NHWC activations sharded over batch (and H over 'space' if present)."""
         axes = [None, None, None, None]

@@ -45,6 +45,7 @@ class LossWeightSchedule:
     decay_every: int = 10_000
 
     def __call__(self, step):
+        step = jnp.asarray(step)  # accept plain Python ints too
         if self.decay_every <= 0:
             k = jnp.asarray(0.0, jnp.float32)
         else:

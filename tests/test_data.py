@@ -117,6 +117,28 @@ def test_drop_last_false_wraps_final_batch(image_dir):
     assert all(b.shape == (4, 16, 16, 3) for b in batches)
 
 
+def test_prefetch_zero_rejected(image_dir):
+    """queue.Queue(maxsize=0) is UNBOUNDED, the opposite of 'no prefetch'."""
+    ds = ImageFolderDataset(image_dir, (16, 16))
+    with pytest.raises(ValueError, match="prefetch"):
+        InputPipeline(ds, global_batch_size=4, prefetch=0)
+
+
+def test_decode_substitution_is_deterministic(image_dir):
+    """The substitute draw is seeded by (seed, index), not a shared RNG, so
+    concurrent decode threads can't make it scheduler-dependent."""
+    bad = os.path.join(image_dir, "zz_corrupt2.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8 nope")
+    ds = ImageFolderDataset(image_dir, (16, 16), seed=3)
+    idx = ds.files.index(bad)
+    first = ds[idx]
+    for _ in range(3):  # same instance, repeated draws: identical substitute
+        np.testing.assert_array_equal(ds[idx], first)
+    ds2 = ImageFolderDataset(image_dir, (16, 16), seed=3)
+    np.testing.assert_array_equal(ds2[idx], first)
+
+
 def test_dataset_smaller_than_batch_raises_with_drop_last(image_dir):
     """drop_last + dataset < global batch would yield ZERO batches per epoch
     and an unbounded run would hang on the queue forever; must fail loudly."""

@@ -222,6 +222,27 @@ def test_stylize_directory_no_collision_across_subdirs(tmp_path):
         assert os.path.exists(o), o
 
 
+def test_from_checkpoint_missing_path_raises_without_mkdir(tmp_path):
+    """A typo'd checkpoint path must raise FileNotFoundError — not create an
+    empty Orbax directory as a side effect and then complain about it."""
+    import pytest
+
+    missing = tmp_path / "no_such_dir"
+    with pytest.raises(FileNotFoundError, match="no such checkpoint"):
+        Stylizer.from_checkpoint(str(missing))
+    assert not missing.exists()
+
+
+def test_cli_rejects_content_dir_with_spatial(tmp_path):
+    import pytest
+
+    from fast_neural_style_transfer_tpu.cli.begin_inference import main
+
+    with pytest.raises(SystemExit, match="content_dir"):
+        main(["--content_dir", str(tmp_path), "--spatial", "4",
+              "--model_path", "x.npz", "--output_dir", str(tmp_path)])
+
+
 def test_stylizer_from_grad_accum_orbax_checkpoint(tmp_path):
     """Orbax checkpoints from --grad_accum>1 runs wrap opt_state in
     optax.MultiSteps; inference restore must not depend on the optimizer
