@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial", type=int, default=1,
                    help="Shard image height over N chips (halo-exchange "
                         "forward; for very large images)")
+    p.add_argument("--style_index", type=int, default=None,
+                   help="Multi-style checkpoints: which trained style to use")
+    p.add_argument("--style_blend", type=float, nargs="+", default=None,
+                   metavar="W",
+                   help="Multi-style checkpoints: length-S weights that "
+                        "convexly blend the trained styles (e.g. 0.5 0.5)")
     return p
 
 
@@ -49,6 +55,10 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
     from fast_neural_style_transfer_tpu.infer import stylize_image_file
+
+    if args.style_index is not None and args.style_blend is not None:
+        raise SystemExit("--style_index and --style_blend are mutually exclusive")
+    style = args.style_index if args.style_index is not None else args.style_blend
 
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, args.output_name)
@@ -69,6 +79,7 @@ def main(argv=None) -> None:
             batch_size=args.batch_size,
             precision=args.precision,
             data_parallel=args.data_parallel,
+            style=style,
         )
         print(f"saved {len(written)} stylized images to {args.output_dir}")
         return
@@ -83,7 +94,8 @@ def main(argv=None) -> None:
         from fast_neural_style_transfer_tpu.utils import load_image, save_image
 
         plan = make_mesh_plan(spatial=args.spatial)
-        stylizer = Stylizer.from_checkpoint(args.model_path, precision=args.precision)
+        stylizer = Stylizer.from_checkpoint(args.model_path, precision=args.precision,
+                                            style=style)
         x = load_image(args.content_image, tuple(args.size) if args.size else None)
         out = stylize_spatial(stylizer.params, x, plan,
                               precision=stylizer.precision)
@@ -95,6 +107,7 @@ def main(argv=None) -> None:
             out_path,
             size=tuple(args.size) if args.size else None,
             precision=args.precision,
+            style=style,
         )
     print(f"saved {out_path}")
 

@@ -19,8 +19,11 @@ from fast_neural_style_transfer_tpu.cli.config import (
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="train fast neural style transfer (TPU)")
-    p.add_argument("--style_image", type=str, default=style_image,
-                   help="Path to style image")
+    p.add_argument("--style_image", type=str, nargs="+", default=style_image,
+                   help="Path to style image. Multiple paths train ONE net "
+                        "on all of them via conditional instance norm "
+                        "(per-style IN banks, shared convs); select or blend "
+                        "styles at inference with --style_index/--style_blend")
     p.add_argument("--training_monitor_content_image", type=str,
                    default=training_monitor_content_image,
                    help="Path to content image to monitor training")
@@ -90,8 +93,12 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     from fast_neural_style_transfer_tpu.train import TrainConfig, train_style_transfer
 
+    # nargs="+" yields a list; a single path keeps the reference's scalar form
+    style = args.style_image
+    if isinstance(style, list):
+        style = style[0] if len(style) == 1 else tuple(style)
     cfg = TrainConfig(
-        style_image=args.style_image,
+        style_image=style,
         dataset_dir=args.dataset_dir,
         output_dir=args.output_dir,
         vgg_weights=args.vgg_weights,

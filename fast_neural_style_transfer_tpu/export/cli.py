@@ -30,13 +30,23 @@ def main(argv=None) -> None:
     p.add_argument("--torchscript", help="write traced TorchScript .pt here")
     p.add_argument("--pth", help="write reference-layout torch checkpoint here")
     p.add_argument("--hub-dir", help="package a Hugging Face repo dir here")
+    p.add_argument("--style-index", type=int, default=None,
+                   help="Multi-style checkpoints: export this trained style "
+                        "(baked into a standard single-style net)")
+    p.add_argument("--style-blend", type=float, nargs="+", default=None,
+                   metavar="W",
+                   help="Multi-style checkpoints: export a convex blend of "
+                        "the trained styles (length-S weights)")
     args = p.parse_args(argv)
     if args.onnx_dynamic and not args.onnx:
         p.error("--onnx-dynamic requires --onnx")
+    if args.style_index is not None and args.style_blend is not None:
+        p.error("--style-index and --style-blend are mutually exclusive")
+    style = args.style_index if args.style_index is not None else args.style_blend
 
     from fast_neural_style_transfer_tpu.infer import Stylizer
 
-    params = Stylizer.from_checkpoint(args.model).params
+    params = Stylizer.from_checkpoint(args.model, style=style).params
     wrote = []
     if args.onnx:
         from fast_neural_style_transfer_tpu.export.onnx_export import export_onnx

@@ -38,6 +38,12 @@ Files:
 
 
 def package_for_hub(params: Any, out_dir: str, *, metadata: Optional[dict] = None) -> str:
+    from fast_neural_style_transfer_tpu.models.transformer import (
+        require_single_style,
+    )
+
+    require_single_style(params, "package_for_hub")
+
     os.makedirs(out_dir, exist_ok=True)
     # 1. reference-compatible torch weights
     have_pth = True

@@ -160,6 +160,12 @@ def build_onnx_model(
 
 
 def export_onnx(params: Any, path: str, **kw) -> str:
+    from fast_neural_style_transfer_tpu.models.transformer import (
+        require_single_style,
+    )
+
+    require_single_style(params, "export_onnx")
+
     data = build_onnx_model(params, **kw)
     with open(path, "wb") as f:
         f.write(data)

@@ -236,6 +236,12 @@ def from_torch_training_checkpoint(path: str):
 def save_torch_checkpoint(params: Params, path: str) -> None:
     """Write a ``.pth`` the reference's inference.py loads directly
     (wrapped in the checkpoint-dict layout it expects at inference.py:33-36)."""
+    from fast_neural_style_transfer_tpu.models.transformer import (
+        require_single_style,
+    )
+
+    require_single_style(params, "save_torch_checkpoint")
+
     import torch
 
     sd = {k: torch.from_numpy(v.copy()) for k, v in to_torch_state_dict(params).items()}

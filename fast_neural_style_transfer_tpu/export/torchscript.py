@@ -55,6 +55,12 @@ def _torch_forward_factory(sd: Dict[str, Any]):
 
 def export_torchscript(params: Any, path: str, *, example_hw: int = 256) -> str:
     """Trace the stylizer to a ``.pt`` (reference model_traced.pt equivalent)."""
+    from fast_neural_style_transfer_tpu.models.transformer import (
+        require_single_style,
+    )
+
+    require_single_style(params, "export_torchscript")
+
     import torch
 
     from fast_neural_style_transfer_tpu.export.torch_convert import to_torch_state_dict

@@ -104,14 +104,22 @@ class Stylizer:
 
     # -- constructors -------------------------------------------------------
 
-    @classmethod
-    def from_checkpoint(cls, path: str, **kw) -> "Stylizer":
-        """Load from .npz (native), Orbax checkpoint dir, or reference-style
-        torch .pth (via export/torch_convert)."""
-        template = TransformerNet.init(jax.random.PRNGKey(0))
+    @staticmethod
+    def load_params(path: str) -> Any:
+        """Load raw stylizer params from .npz (native), Orbax checkpoint dir,
+        or reference-style torch .pth (via export/torch_convert). Multi-style
+        checkpoints come back with their (S, C) conditional-IN banks intact —
+        ``from_checkpoint`` is the style-selecting entry point."""
         if path.endswith(".npz"):
+            import numpy as _np
+
             from fast_neural_style_transfer_tpu.train.checkpoint import load_params_npz
 
+            # peek the style count so the validation template matches:
+            # multi-style checkpoints store (S, C) IN affines
+            g = _np.load(path)["norm1/gamma"]
+            ns = int(g.shape[0]) if g.ndim == 2 else 1
+            template = TransformerNet.init(jax.random.PRNGKey(0), num_styles=ns)
             params = load_params_npz(template, path)
         elif path.endswith(".pt"):
             raise ValueError(
@@ -138,10 +146,50 @@ class Stylizer:
 
             # params-only restore: works regardless of the optimizer topology
             # the run used (e.g. --grad_accum>1 wraps opt_state in MultiSteps,
-            # which a default-optimizer template could not restore)
+            # which a default-optimizer template could not restore). Restore
+            # raw first, then validate against a template with the restored
+            # style count.
             mgr = CheckpointManager(path)
-            params = mgr.restore_params(template)
-        return cls(jax.tree.map(jnp.asarray, params), **kw)
+            params = mgr.restore_params(None)
+            g = params["norm1"]["gamma"]
+            ns = int(np.shape(g)[0]) if np.ndim(g) == 2 else 1
+            mgr.validate_params(
+                TransformerNet.init(jax.random.PRNGKey(0), num_styles=ns),
+                params,
+            )
+        return jax.tree.map(jnp.asarray, params)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, *, style=None, **kw) -> "Stylizer":
+        """Load a checkpoint and build a Stylizer.
+
+        ``style`` (multi-style checkpoints): an int style index, or a
+        length-S weight vector that convexly blends styles. The selection is
+        baked into standard single-style params (models/transformer.py
+        ``bake_style``) so every downstream path — u8 roundtrip, int8,
+        spatial sharding, export — runs unchanged. Required when the
+        checkpoint is multi-style; rejected when it is single-style.
+        """
+        from fast_neural_style_transfer_tpu.models.transformer import (
+            bake_style,
+            num_styles,
+        )
+
+        params = cls.load_params(path)
+        s = num_styles(params)
+        if s > 1:
+            if style is None:
+                raise ValueError(
+                    f"{path} is a {s}-style checkpoint: pass style=<index "
+                    f"0..{s - 1}> or a length-{s} blend-weight vector"
+                )
+            params = bake_style(params, style)
+        elif style is not None:
+            raise ValueError(
+                f"style={style!r} given but {path} is a single-style "
+                "checkpoint"
+            )
+        return cls(params, **kw)
 
     # -- forward ------------------------------------------------------------
 
@@ -186,13 +234,15 @@ def stylize_image_file(
     *,
     size: Optional[Tuple[int, int]] = None,
     precision: str = "f32",
+    style=None,
 ) -> str:
     """File-in/file-out single-image path (reference test_inference,
     inference.py:27-61 — minus its preprocessing bug).
 
     Uses the uint8 device-roundtrip (normalize and denormalize fused into
     the jitted forward): same canonical preprocess as ``load_image``
-    (defect #7 fix), 4x fewer transfer bytes each way."""
+    (defect #7 fix), 4x fewer transfer bytes each way. ``style``: index or
+    blend weights for multi-style checkpoints (Stylizer.from_checkpoint)."""
     from PIL import Image
 
     from fast_neural_style_transfer_tpu.utils.image_io import (
@@ -200,7 +250,8 @@ def stylize_image_file(
         resize_image,
     )
 
-    stylizer = Stylizer.from_checkpoint(model_path, precision=precision)
+    stylizer = Stylizer.from_checkpoint(model_path, precision=precision,
+                                        style=style)
     u8 = decode_image(content_path)
     if size is not None:
         u8 = resize_image(u8, size)
@@ -219,6 +270,7 @@ def stylize_directory(
     precision: str = "f32",
     num_workers: int = 8,
     data_parallel: bool = False,
+    style=None,
 ) -> list:
     """Stylize every image under ``content_dir`` into ``output_dir``.
 
@@ -255,7 +307,7 @@ def stylize_directory(
         plan.check_batch(batch_size)
         sharding = plan.batch_sharding
     stylizer = Stylizer.from_checkpoint(model_path, precision=precision,
-                                        sharding=sharding)
+                                        sharding=sharding, style=style)
     os.makedirs(output_dir, exist_ok=True)
 
     def dec(path):

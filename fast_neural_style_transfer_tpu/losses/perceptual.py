@@ -93,15 +93,34 @@ def style_loss(
     style_feats: Sequence[jnp.ndarray],
     target_grams: Sequence[jnp.ndarray],
     weights: Sequence[float],
+    style_select: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Sum over layers of ``w * sum((G - G_target)^2) / c^2``."""
+    """Sum over layers of ``w * sum((G - G_target)^2) / c^2``.
+
+    Single-style (the reference semantics): each target is one (c, c) Gram,
+    broadcast over the batch. Multi-style (conditional-IN training): each
+    target is an (S, c, c) bank and ``style_select`` is a (B, S) row-per-
+    example weight matrix (one-hot for sampled styles); the per-example
+    target is the matching selection/blend of bank rows — the same tiny
+    matmul that selects the IN affines in the model, so the loss each
+    example sees is exactly the style its normalization was conditioned on.
+    """
     if not (len(style_feats) == len(target_grams) == len(weights)):
         raise ValueError("style taps / targets / weights length mismatch")
+    multi = target_grams[0].ndim == 3
+    if multi and style_select is None:
+        raise ValueError("(S, c, c) style-target banks need style_select")
     total = jnp.asarray(0.0, jnp.float32)
     for feat, tgt, w in zip(style_feats, target_grams, weights):
         g = gram_matrix(feat).astype(jnp.float32)  # (b, c, c)
-        c = tgt.shape[0]
-        tgt = tgt.astype(jnp.float32)[None]  # broadcast over batch
+        c = tgt.shape[-1]
+        tgt = tgt.astype(jnp.float32)
+        if multi:  # (b, s) @ (s, c, c) -> per-example (b, c, c) target
+            tgt = jnp.einsum(
+                "bs,sij->bij", style_select.astype(jnp.float32), tgt
+            )
+        else:
+            tgt = tgt[None]  # broadcast one style over the batch
         layer = jnp.sum(jnp.square(g - tgt))
         total = total + (w * layer) / (c * c)
     return total

@@ -25,6 +25,17 @@ matching torch. ``apply(..., train=False)`` (or rng=None) disables it, matching
 Initialization matches PyTorch defaults so training dynamics transfer:
 Conv2d/ConvTranspose2d use Kaiming-uniform(a=sqrt(5)) == U(-L, L) with
 L = 1/sqrt(fan_in * k * k), bias U(-L, L); InstanceNorm affine gamma=1, beta=0.
+
+Multi-style (beyond the reference, which trains one net per style): with
+``init(key, num_styles=S)`` every instance-norm affine becomes an (S, C)
+bank — conditional instance norm, Dumoulin et al. 2017, "A Learned
+Representation for Artistic Style". ``apply(..., style_weights=w)`` selects
+(or convexly blends) rows: ``w`` is (S,) for a whole batch or (B, S) for
+per-example styles (how training samples styles). The convs — 99.7% of the
+parameters — are shared across styles. ``bake_style(params, w)`` collapses
+an (S, C) bank into a standard single-style net, so every downstream path
+(ONNX/TorchScript/.pth export, int8, spatial sharding) works on multi-style
+checkpoints without knowing about them.
 """
 
 from __future__ import annotations
@@ -62,26 +73,81 @@ def _init_conv(key, k: int, cin: int, cout: int, *, transpose: bool = False):
     return {"w": w, "b": b}
 
 
-def _init_in(c: int):
-    return {"gamma": jnp.ones((c,), jnp.float32), "beta": jnp.zeros((c,), jnp.float32)}
+def _init_in(c: int, num_styles: int = 1):
+    """IN affine params: (C,) classic, (S, C) conditional bank for S > 1."""
+    shape = (c,) if num_styles == 1 else (num_styles, c)
+    return {"gamma": jnp.ones(shape, jnp.float32), "beta": jnp.zeros(shape, jnp.float32)}
+
+
+def num_styles(params: Params) -> int:
+    """1 for a classic single-style net, S for a conditional-IN bank."""
+    g = params["norm1"]["gamma"]
+    return int(g.shape[0]) if g.ndim == 2 else 1
+
+
+def bake_style(params: Params, style_weights) -> Params:
+    """Collapse a multi-style net into a standard single-style net.
+
+    ``style_weights``: an int style index, or a length-S weight vector
+    (blends styles — convex weights interpolate artistic styles, Dumoulin
+    et al. §3.2). The result has (C,)-shaped IN affines and runs through
+    every single-style code path (export, int8, spatial) unchanged.
+    """
+    s = num_styles(params)
+    if s == 1:
+        raise ValueError("bake_style: params are already single-style")
+    if isinstance(style_weights, int):
+        if not 0 <= style_weights < s:
+            raise ValueError(f"style index {style_weights} out of range [0, {s})")
+        w = jnp.zeros((s,), jnp.float32).at[style_weights].set(1.0)
+    else:
+        w = jnp.asarray(style_weights, jnp.float32)
+        if w.shape != (s,):
+            raise ValueError(
+                f"style_weights shape {w.shape} != ({s},) for a {s}-style net"
+            )
+
+    def bake(leaf):
+        # only the IN banks are (S, C); conv weights are 4-D, biases (C,)
+        if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] == s:
+            return w @ leaf
+        return leaf
+
+    return jax.tree.map(bake, params)
+
+
+def require_single_style(params: Params, what: str) -> None:
+    """Guard for paths that only handle classic (C,)-affine nets (export
+    writers, the reference .pth layout): fail with the fix, not a shape
+    error deep inside."""
+    s = num_styles(params)
+    if s > 1:
+        raise ValueError(
+            f"{what} needs single-style params, but this net has {s} "
+            "conditional-IN styles — bake_style(params, <index or blend>) "
+            "first (the CLIs' --style_index/--style_blend do this)"
+        )
 
 
 class TransformerNet:
     """Pure-functional stylizer: ``init`` builds params, ``apply`` runs NHWC."""
 
     @staticmethod
-    def init(key: jax.Array) -> Params:
+    def init(key: jax.Array, num_styles: int = 1) -> Params:
+        if num_styles < 1:
+            raise ValueError(f"num_styles must be >= 1, got {num_styles}")
         keys = jax.random.split(key, 16)
+        ns = num_styles
         params: Params = {
             "conv1": _init_conv(keys[0], 9, 3, 64),
-            "norm1": _init_in(64),
+            "norm1": _init_in(64, ns),
             "conv2": _init_conv(keys[1], 3, 64, 256),
-            "norm2": _init_in(256),
+            "norm2": _init_in(256, ns),
             "res_blocks": [],
             "up1": _init_conv(keys[2], 3, 256, 64, transpose=True),
-            "norm3": _init_in(64),
+            "norm3": _init_in(64, ns),
             "up2": _init_conv(keys[3], 3, 64, 32, transpose=True),
-            "norm4": _init_in(32),
+            "norm4": _init_in(32, ns),
             "final_conv": _init_conv(keys[4], 9, 32, 3),
         }
         for i in range(NUM_RES_BLOCKS):
@@ -89,9 +155,9 @@ class TransformerNet:
             params["res_blocks"].append(
                 {
                     "conv1": _init_conv(rk[0], 3, 256, 256),
-                    "in1": _init_in(256),
+                    "in1": _init_in(256, ns),
                     "conv2": _init_conv(rk[1], 3, 256, 256),
-                    "in2": _init_in(256),
+                    "in2": _init_in(256, ns),
                 }
             )
         return params
@@ -105,6 +171,7 @@ class TransformerNet:
         rng: Optional[jax.Array] = None,
         precision: Precision = Precision.f32(),
         norm_method: str = "auto",
+        style_weights: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """NHWC forward. H and W must be multiples of 4 for exact round-trip.
 
@@ -112,7 +179,22 @@ class TransformerNet:
         to the XLA path (measured faster at these shapes — XLA fuses IN into
         the producing conv's epilogue); the fused Pallas IN+ReLU kernel is an
         explicit opt-in via ``norm_method="pallas"`` (ops/norm.py).
+
+        ``style_weights`` (multi-style params only): (S,) weights applied to
+        the whole batch, or (B, S) per-example rows. Selection is a tiny
+        matmul against each (S, C) affine bank — jit-friendly, no gathers.
         """
+        multi = params["norm1"]["gamma"].ndim == 2
+        if multi and style_weights is None:
+            raise ValueError(
+                f"multi-style params ({params['norm1']['gamma'].shape[0]} "
+                "styles) need style_weights — or bake_style() them first"
+            )
+        if not multi and style_weights is not None:
+            raise ValueError("style_weights given but params are single-style")
+        if multi:
+            style_weights = jnp.asarray(style_weights, jnp.float32)
+
         in_dtype = x.dtype
         x = x.astype(precision.compute_dtype)
 
@@ -127,7 +209,13 @@ class TransformerNet:
             return h.astype(precision.compute_dtype)
 
         def inorm(h, p, *, relu):
-            return instance_norm(h, p["gamma"], p["beta"], relu=relu,
+            gamma, beta = p["gamma"], p["beta"]
+            if multi:
+                # (S,)@(S,C)->(C,) or (B,S)@(S,C)->(B,C); instance_norm
+                # broadcasts either over (B,H,W,C)
+                gamma = style_weights @ gamma
+                beta = style_weights @ beta
+            return instance_norm(h, gamma, beta, relu=relu,
                                  method=norm_method)
 
         # encoder

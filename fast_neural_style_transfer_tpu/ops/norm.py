@@ -24,6 +24,14 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _affine_f32(p, x_ndim):
+    """(C,) or (B, C) affine -> broadcastable against (B, H, W, C)."""
+    p = p.astype(jnp.float32)
+    if p.ndim == 2:  # per-example (conditional IN): (B, C) -> (B, 1, 1, C)
+        return p[:, None, None, :]
+    return p
+
+
 def _xla_instance_norm(x, gamma, beta, *, eps: float, relu: bool):
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -32,7 +40,7 @@ def _xla_instance_norm(x, gamma, beta, *, eps: float, relu: bool):
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
     inv = lax.rsqrt(var + eps)
     out = (xf - mean) * inv
-    out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    out = out * _affine_f32(gamma, xf.ndim) + _affine_f32(beta, xf.ndim)
     if relu:
         out = jnp.maximum(out, 0.0)
     return out.astype(orig_dtype)
@@ -49,7 +57,9 @@ def instance_norm(
 ) -> jnp.ndarray:
     if method not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown instance_norm method {method!r}")
-    if method == "pallas":
+    if method == "pallas" and gamma.ndim == 1:
+        # (the Pallas kernel takes per-channel (C,) affines only; per-example
+        # (B, C) conditional-IN affines go through the XLA path)
         from fast_neural_style_transfer_tpu.ops.pallas_norm import (
             fits_vmem,
             fused_instance_norm,

@@ -56,7 +56,10 @@ class CheckpointManager:
         topology the run was saved with (a ``--grad_accum>1`` run wraps
         ``opt_state`` in ``optax.MultiSteps``; inference and warm-starts must
         not need to know that). Restores template-free, then validates tree
-        structure and leaf shapes against ``template_params``."""
+        structure and leaf shapes against ``template_params`` — pass ``None``
+        to skip validation (callers that must inspect the restored shapes
+        first, e.g. to detect a multi-style checkpoint's style count, then
+        call ``validate_params`` themselves)."""
         import logging
 
         step = self.latest_step() if step is None else step
@@ -69,6 +72,13 @@ class CheckpointManager:
             restored = self._mgr.restore(step)["params"]
         finally:
             logger.setLevel(prev)
+        if template_params is not None:
+            self.validate_params(template_params, restored)
+        return restored
+
+    @staticmethod
+    def validate_params(template_params: Any, restored: Any) -> None:
+        """Assert ``restored`` matches ``template_params``' tree + shapes."""
         t_flat, t_def = jax.tree_util.tree_flatten(template_params)
         r_flat, r_def = jax.tree_util.tree_flatten(restored)
         if t_def != r_def:
@@ -81,7 +91,6 @@ class CheckpointManager:
                 raise ValueError(
                     f"checkpoint param shape {np.shape(r)} != model {np.shape(t)}"
                 )
-        return restored
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

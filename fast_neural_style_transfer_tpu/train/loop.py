@@ -40,9 +40,17 @@ from fast_neural_style_transfer_tpu.utils import MetricLogger, load_image, save_
 
 @dataclasses.dataclass
 class TrainConfig:
-    """Flag-parity superset of the reference CLI (begin_training.py:12-26)."""
+    """Flag-parity superset of the reference CLI (begin_training.py:12-26).
 
-    style_image: str
+    ``style_image`` may be a single path (the reference's one-net-per-style
+    regime) or a sequence of paths — the latter trains ONE net on all S
+    styles via conditional instance norm (models/transformer.py): per-style
+    (S, C) IN affine banks, shared convs, per-example style sampling in the
+    train step. Inference selects/blends styles with ``Stylizer``'s
+    ``style=`` argument (which bakes back to a standard single-style net).
+    """
+
+    style_image: "str | Tuple[str, ...]"
     dataset_dir: str
     output_dir: str = "training_output"
     vgg_weights: Optional[str] = None
@@ -146,18 +154,34 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     # frozen VGG19 + one-time style Gram targets (reference train.py:86-89,110-118)
     vgg_params = resolve_params(cfg.vgg_weights, seed=cfg.seed)
     vgg_params = jax.device_put(vgg_params, plan.replicated)
-    style_img = load_image(cfg.style_image, cfg.image_size)
-    style_feats = VGG19Features.apply(
-        vgg_params, jnp.asarray(style_img), taps.style_taps, precision=prec
-    )
+    style_paths = ([cfg.style_image] if isinstance(cfg.style_image, str)
+                   else list(cfg.style_image))
+    num_styles = len(style_paths)
+    if num_styles > 1 and cfg.spatial > 1:
+        raise ValueError(
+            "multi-style training and --spatial height sharding cannot be "
+            "combined yet (the halo-exchange step is single-style)"
+        )
+    per_style_targets = []
+    for sp in style_paths:
+        style_img = load_image(sp, cfg.image_size)
+        style_feats = VGG19Features.apply(
+            vgg_params, jnp.asarray(style_img), taps.style_taps, precision=prec
+        )
+        per_style_targets.append(style_targets_from_features(style_feats))
+    if num_styles == 1:
+        layer_targets = per_style_targets[0]
+    else:  # per-layer (S, c, c) banks for per-example selection in the step
+        layer_targets = [jnp.stack(layer) for layer in zip(*per_style_targets)]
+        print(f"multi-style run: {num_styles} styles via conditional IN",
+              flush=True)
     style_grams = tuple(
-        jax.device_put(g, plan.replicated)
-        for g in style_targets_from_features(style_feats)
+        jax.device_put(g, plan.replicated) for g in layer_targets
     )
 
     # stylizer + optimizer state, replicated over the mesh
     optimizer = make_optimizer(cfg.lr, cfg.total_steps, grad_accum=cfg.grad_accum)
-    params = TransformerNet.init(jax.random.PRNGKey(cfg.seed))
+    params = TransformerNet.init(jax.random.PRNGKey(cfg.seed), num_styles=num_styles)
     state = None
     if cfg.init_checkpoint:
         # A reference TRAINING checkpoint (.pth with optimizer_state_dict,
@@ -183,8 +207,18 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             )
         else:
             from fast_neural_style_transfer_tpu.infer.stylize import Stylizer
+            from fast_neural_style_transfer_tpu.models.transformer import (
+                num_styles as params_num_styles,
+            )
 
-            params = Stylizer.from_checkpoint(cfg.init_checkpoint).params
+            loaded = Stylizer.load_params(cfg.init_checkpoint)
+            if params_num_styles(loaded) != num_styles:
+                raise ValueError(
+                    f"init_checkpoint has {params_num_styles(loaded)} "
+                    f"style(s) but this run trains {num_styles} — style "
+                    "counts must match to warm-start"
+                )
+            params = loaded
             print(f"warm-started params from {cfg.init_checkpoint}", flush=True)
     if state is None:
         state = create_train_state(params, optimizer)
@@ -227,6 +261,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             lr=cfg.lr,
             total_steps=cfg.total_steps,
             grad_accum=cfg.grad_accum,
+            num_styles=num_styles,
         )
     eval_forward = make_eval_forward(precision=prec)
 
@@ -295,10 +330,30 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             if logger.should_log(step):
                 logger.flush(step)
             if monitor_img is not None and step % cfg.monitor_every == 0:
-                out = eval_forward(state.params, monitor_img)
-                path = os.path.join(cfg.output_dir, f"sample_step_{step}.jpg")
-                save_image(np.asarray(out), path)
-                print(f"saved monitor sample {path}", flush=True)
+                if num_styles == 1:
+                    out = eval_forward(state.params, monitor_img)
+                    path = os.path.join(cfg.output_dir, f"sample_step_{step}.jpg")
+                    save_image(np.asarray(out), path)
+                    print(f"saved monitor sample {path}", flush=True)
+                else:
+                    # one sample per style; bake_style collapses the (S, C)
+                    # IN banks so the single compiled eval forward is reused
+                    from fast_neural_style_transfer_tpu.models.transformer import (
+                        bake_style,
+                    )
+
+                    for s in range(num_styles):
+                        out = eval_forward(
+                            bake_style(state.params, s), monitor_img
+                        )
+                        path = os.path.join(
+                            cfg.output_dir, f"sample_step_{step}_style{s}.jpg"
+                        )
+                        save_image(np.asarray(out), path)
+                    print(
+                        f"saved {num_styles} monitor samples at step {step}",
+                        flush=True,
+                    )
             if step % cfg.checkpoint_every == 0:
                 ckpt.save(step, state)
                 print(f"checkpoint saved at step {step}", flush=True)

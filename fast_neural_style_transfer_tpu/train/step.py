@@ -75,11 +75,19 @@ def loss_fn(
     taps: LossTaps,
     precision: Precision,
     train: bool = True,
+    style_select: Optional[jnp.ndarray] = None,
 ):
-    """Weighted perceptual loss for one batch; returns (total, metrics)."""
+    """Weighted perceptual loss for one batch; returns (total, metrics).
+
+    ``style_select`` (multi-style training only): (B, S) one-hot rows pairing
+    each example with a style — conditions the stylizer's instance norms AND
+    picks the matching row of each (S, c, c) style-Gram bank, so generator
+    and loss always agree on which style an example is being pushed toward.
+    """
     cw, sw, tw = weights
     batch = normalize_u8_batch(batch)
-    stylized = TransformerNet.apply(params, batch, train=train, rng=rng, precision=precision)
+    stylized = TransformerNet.apply(params, batch, train=train, rng=rng, precision=precision,
+                                    style_weights=style_select)
     stylized = jnp.clip(stylized, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
 
     tap_names = taps.all_taps
@@ -96,7 +104,8 @@ def loss_fn(
     _, c_feat_target = taps.split(content_feats)
 
     c_loss = cw * content_loss(c_feat_stylized, c_feat_target)
-    s_loss = sw * style_loss(s_feats, style_grams, taps.style_weights)
+    s_loss = sw * style_loss(s_feats, style_grams, taps.style_weights,
+                             style_select=style_select)
     t_loss = tw * total_variation_loss(stylized)
     total = c_loss + s_loss + t_loss
     metrics = {
@@ -118,11 +127,19 @@ def make_train_step(
     total_steps: int = 80_000,
     grad_accum: int = 1,
     donate: bool = True,
+    num_styles: int = 1,
 ) -> Callable:
     """Build the jitted ``step(state, vgg_params, batch, style_grams, rng)``.
 
     ``vgg_params``/``style_grams`` are traced arguments (not baked constants)
     so one compilation serves any style image and any VGG weights.
+
+    ``num_styles > 1`` (conditional-IN training, one net for S styles): each
+    step splits its rng and samples a uniform style index per example; the
+    one-hot (B, S) matrix conditions the stylizer's instance norms and
+    selects each example's row in the (S, c, c) style-Gram banks. Sampling
+    lives inside the jitted step — the input pipeline, checkpointing, and
+    the multichip sharding story are untouched.
 
     Step unit: every schedule (cosine LR and the loss-weight halving/doubling)
     is a function of APPLIED optimizer updates. ``state.step`` counts
@@ -144,8 +161,16 @@ def make_train_step(
     ):
         applied_step = state.step // grad_accum
         weights = weight_schedule(applied_step)
+        style_select = None
+        if num_styles > 1:
+            rng, style_rng = jax.random.split(rng)
+            idx = jax.random.randint(
+                style_rng, (batch.shape[0],), 0, num_styles
+            )
+            style_select = jax.nn.one_hot(idx, num_styles, dtype=jnp.float32)
         grads, metrics = jax.grad(
-            functools.partial(loss_fn, taps=taps, precision=precision),
+            functools.partial(loss_fn, taps=taps, precision=precision,
+                              style_select=style_select),
             has_aux=True,
         )(state.params, vgg_params, batch, style_grams, weights, rng)
 
