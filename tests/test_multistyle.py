@@ -192,6 +192,66 @@ class TestTrainStep:
         assert np.abs(g[1] - 1.0).max() > 0
 
 
+class TestDataParallel:
+    def test_multistyle_dp_matches_single_device(self):
+        """Multi-style step over the 8-device data mesh == local math: the
+        in-step style sampling and the (S, c, c) bank einsum must partition
+        without changing values (threefry bits are position-, not device-,
+        dependent)."""
+        import optax
+
+        from fast_neural_style_transfer_tpu.losses import LossTaps
+        from fast_neural_style_transfer_tpu.models.vgg_weights import resolve_params
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+        from fast_neural_style_transfer_tpu.train.state import (
+            create_train_state,
+            replicate_state,
+        )
+        from fast_neural_style_transfer_tpu.train.step import make_train_step
+
+        with pytest.warns(UserWarning, match="VGG19"):
+            vgg = resolve_params(None, seed=0)
+        # SGD, not Adam: Adam maps near-zero grads to +-lr, so a mere
+        # psum-reduction-order sign flip on a ~0 element becomes a 2*lr
+        # param difference — noise that would swamp what this test is
+        # about (value-identical partitioning of sampling + bank einsum)
+        opt = optax.sgd(1e-3)
+        state = create_train_state(
+            TransformerNet.init(jax.random.PRNGKey(0), num_styles=2), opt
+        )
+        step = make_train_step(opt, taps=LossTaps(), num_styles=2,
+                               total_steps=10, donate=False)
+        banks = tuple(
+            jax.random.normal(jax.random.PRNGKey(c), (2, c, c)) * 0.01
+            for c in (64, 128, 256)
+        )
+        batch = jax.random.normal(jax.random.PRNGKey(8), (8, 32, 32, 3))
+        rng = jax.random.PRNGKey(9)
+
+        s1, m1 = step(state, vgg, batch, banks, rng)
+
+        plan = make_mesh_plan()
+        s8, m8 = step(
+            replicate_state(state, plan.replicated),
+            jax.device_put(vgg, plan.replicated),
+            jax.device_put(batch, plan.batch_sharding),
+            tuple(jax.device_put(b, plan.replicated) for b in banks),
+            rng,
+        )
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-5)
+        jax.tree.map(
+            # psum reduction-order float noise scales with magnitude
+            # (loss is ~1e6, so one SGD step moves params by O(10)):
+            # relative tolerance, not absolute
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            s1.params,
+            s8.params,
+        )
+
+
 class TestEndToEnd:
     @pytest.fixture
     def workspace(self, tmp_path):
