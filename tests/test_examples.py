@@ -23,6 +23,13 @@ def test_quickstart_example(tmp_path):
     assert "loss" in out.lower() or os.listdir(tmp_path)
 
 
+def test_multistyle_example(tmp_path):
+    out = _run("multistyle.py", str(tmp_path))
+    assert "loss" in out.lower()
+    for name in ("style0.jpg", "style1.jpg", "blend.jpg", "multistyle_final.npz"):
+        assert os.path.exists(tmp_path / name)
+
+
 def test_serving_example(tmp_path):
     out = _run("serving.py", str(tmp_path))
     assert "data-parallel over 8 devices: identical output" in out

@@ -462,9 +462,13 @@ def test_reflect_conv2d_k3s2_s2d_matches_direct(rng):
     (9, 16, 12, 8, 3), (9, 10, 10, 2, 2),  # k9: p=4 bands (final-conv family)
     (5, 10, 9, 3, 4),
 ])
-def test_reflect_conv2d_same_delta_matches_direct(rng, k, h, w, cin, cout):
+def test_reflect_conv2d_same_delta_matches_direct(k, h, w, cin, cout):
     """Zero-pad-SAME + border-delta lowering (the b20 train-step win):
     forward and both gradients equal the direct reflect conv."""
+    # per-test generator, NOT the session-shared rng fixture: shared-stream
+    # draws depend on which tests ran before, and a rare draw lands right at
+    # the f32 tolerance edge — the inputs must be order-independent
+    rng = np.random.default_rng(k * 1000 + h * 100 + cin)
     x = jnp.asarray(rng.standard_normal((2, h, w, cin), dtype=np.float32))
     wt = jnp.asarray(rng.standard_normal((k, k, cin, cout), dtype=np.float32) * 0.1)
     b = jnp.asarray(rng.standard_normal(cout, dtype=np.float32))
