@@ -360,6 +360,33 @@ class TestEndToEnd:
                 train_style_transfer(cfg2)
 
 
+class TestComposition:
+    def test_int8_and_spatial_take_baked_styles(self, tmp_path):
+        """Baking makes multi-style checkpoints compose with every
+        downstream precision/sharding path — spot-check int8 (quantizes the
+        baked affines) and the spatial halo forward."""
+        from fast_neural_style_transfer_tpu.infer import Stylizer
+        from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+        path = str(tmp_path / "ms.npz")
+        save_params_npz(jax.device_get(_multi_params()), path)
+
+        img = np.random.default_rng(0).integers(
+            0, 256, (32, 32, 3), dtype=np.uint8
+        )
+        out = Stylizer.from_checkpoint(path, style=2, precision="int8").stylize_u8(img)
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+        from fast_neural_style_transfer_tpu.infer import stylize_spatial
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        plan = make_mesh_plan(spatial=4)
+        sty = Stylizer.from_checkpoint(path, style=[0.3, 0.3, 0.4])
+        x = np.random.default_rng(1).standard_normal((1, 64, 64, 3)).astype(np.float32)
+        out_sp = stylize_spatial(sty.params, x, plan, precision=sty.precision)
+        assert np.asarray(out_sp).shape == (1, 64, 64, 3)
+
+
 class TestCLIParsing:
     def test_training_cli_multi_style_paths(self):
         from fast_neural_style_transfer_tpu.cli.begin_training import build_parser
