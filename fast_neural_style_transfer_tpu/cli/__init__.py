@@ -22,3 +22,12 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without the knobs
+
+
+def resolve_style_flags(style_index, style_blend):
+    """One definition of the --style_index/--style_blend contract for every
+    CLI (inference, export): mutually exclusive; returns the value to pass
+    as ``Stylizer.from_checkpoint(style=...)`` (None when neither given)."""
+    if style_index is not None and style_blend is not None:
+        raise ValueError("--style_index and --style_blend are mutually exclusive")
+    return style_index if style_index is not None else style_blend

@@ -56,9 +56,12 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     from fast_neural_style_transfer_tpu.infer import stylize_image_file
 
-    if args.style_index is not None and args.style_blend is not None:
-        raise SystemExit("--style_index and --style_blend are mutually exclusive")
-    style = args.style_index if args.style_index is not None else args.style_blend
+    from fast_neural_style_transfer_tpu.cli import resolve_style_flags
+
+    try:
+        style = resolve_style_flags(args.style_index, args.style_blend)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, args.output_name)

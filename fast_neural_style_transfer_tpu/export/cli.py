@@ -40,9 +40,12 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     if args.onnx_dynamic and not args.onnx:
         p.error("--onnx-dynamic requires --onnx")
-    if args.style_index is not None and args.style_blend is not None:
-        p.error("--style-index and --style-blend are mutually exclusive")
-    style = args.style_index if args.style_index is not None else args.style_blend
+    from fast_neural_style_transfer_tpu.cli import resolve_style_flags
+
+    try:
+        style = resolve_style_flags(args.style_index, args.style_blend)
+    except ValueError as e:
+        p.error(str(e).replace("_", "-"))  # this CLI spells the flags with dashes
 
     from fast_neural_style_transfer_tpu.infer import Stylizer
 

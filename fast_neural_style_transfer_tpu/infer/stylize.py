@@ -111,14 +111,13 @@ class Stylizer:
         checkpoints come back with their (S, C) conditional-IN banks intact —
         ``from_checkpoint`` is the style-selecting entry point."""
         if path.endswith(".npz"):
-            import numpy as _np
-
             from fast_neural_style_transfer_tpu.train.checkpoint import load_params_npz
 
             # peek the style count so the validation template matches:
             # multi-style checkpoints store (S, C) IN affines
-            g = _np.load(path)["norm1/gamma"]
-            ns = int(g.shape[0]) if g.ndim == 2 else 1
+            with np.load(path) as z:
+                g = z["norm1/gamma"]
+                ns = int(g.shape[0]) if g.ndim == 2 else 1
             template = TransformerNet.init(jax.random.PRNGKey(0), num_styles=ns)
             params = load_params_npz(template, path)
         elif path.endswith(".pt"):
@@ -149,12 +148,16 @@ class Stylizer:
             # which a default-optimizer template could not restore). Restore
             # raw first, then validate against a template with the restored
             # style count.
+            from fast_neural_style_transfer_tpu.models.transformer import (
+                num_styles as _num_styles,
+            )
+
             mgr = CheckpointManager(path)
             params = mgr.restore_params(None)
-            g = params["norm1"]["gamma"]
-            ns = int(np.shape(g)[0]) if np.ndim(g) == 2 else 1
             mgr.validate_params(
-                TransformerNet.init(jax.random.PRNGKey(0), num_styles=ns),
+                TransformerNet.init(
+                    jax.random.PRNGKey(0), num_styles=_num_styles(params)
+                ),
                 params,
             )
         return jax.tree.map(jnp.asarray, params)

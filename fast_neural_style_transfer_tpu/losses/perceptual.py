@@ -110,6 +110,13 @@ def style_loss(
     multi = target_grams[0].ndim == 3
     if multi and style_select is None:
         raise ValueError("(S, c, c) style-target banks need style_select")
+    if style_select is not None and not multi:
+        # the symmetric mistake — conditioned generator, single-gram
+        # targets — would silently train every style toward one target
+        raise ValueError(
+            "style_select given but target_grams are single-style (c, c); "
+            "stack per-style targets into (S, c, c) banks"
+        )
     total = jnp.asarray(0.0, jnp.float32)
     for feat, tgt, w in zip(style_feats, target_grams, weights):
         g = gram_matrix(feat).astype(jnp.float32)  # (b, c, c)

@@ -93,18 +93,35 @@ def bake_style(params: Params, style_weights) -> Params:
     et al. §3.2). The result has (C,)-shaped IN affines and runs through
     every single-style code path (export, int8, spatial) unchanged.
     """
+    import numpy as _np
+
     s = num_styles(params)
     if s == 1:
         raise ValueError("bake_style: params are already single-style")
-    if isinstance(style_weights, int):
-        if not 0 <= style_weights < s:
-            raise ValueError(f"style index {style_weights} out of range [0, {s})")
-        w = jnp.zeros((s,), jnp.float32).at[style_weights].set(1.0)
+    if isinstance(style_weights, bool):
+        # bool passes isinstance(int) but .at[True] is MASK indexing, which
+        # would silently bake the SUM of all styles — refuse it outright
+        raise TypeError("style index must be an integer, not bool")
+    if isinstance(style_weights, (int, _np.integer)):
+        idx = int(style_weights)
+        if not 0 <= idx < s:
+            raise ValueError(f"style index {idx} out of range [0, {s})")
+        w = jnp.zeros((s,), jnp.float32).at[idx].set(1.0)
     else:
         w = jnp.asarray(style_weights, jnp.float32)
         if w.shape != (s,):
             raise ValueError(
                 f"style_weights shape {w.shape} != ({s},) for a {s}-style net"
+            )
+        wv = _np.asarray(w)
+        if (wv < 0).any() or abs(float(wv.sum()) - 1.0) > 1e-3:
+            # everything downstream (docs, CLI help, the training
+            # distribution of the IN affines) assumes a convex blend; a
+            # typo'd --style_blend 0.5 0.7 would otherwise ship scaled
+            # affines into exports with no warning anywhere
+            raise ValueError(
+                f"style blend weights must be convex (>= 0, sum to 1); got "
+                f"{wv.tolist()} with sum {float(wv.sum()):.4f}"
             )
 
     def bake(leaf):

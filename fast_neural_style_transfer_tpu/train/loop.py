@@ -193,6 +193,15 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         )
 
         if is_torch_training_checkpoint(cfg.init_checkpoint):
+            if num_styles > 1:
+                # the reference .pth layout is single-style by definition;
+                # fail here with the reason instead of a trace-time
+                # style_weights error after VGG/gram/mesh setup
+                raise ValueError(
+                    f"cannot resume a reference training checkpoint into a "
+                    f"{num_styles}-style run: reference checkpoints are "
+                    "single-style"
+                )
             from fast_neural_style_transfer_tpu.train.state import (
                 state_from_reference_checkpoint,
             )

@@ -126,6 +126,24 @@ class TestModel:
         require_single_style(single, "x")  # no-op
         with pytest.raises(ValueError, match="bake_style"):
             require_single_style(multi, "x")
+        # bool passes isinstance(int) but jnp .at[True] is mask indexing —
+        # without the guard it silently bakes the SUM of all styles
+        with pytest.raises(TypeError, match="bool"):
+            bake_style(multi, True)
+        # numpy integers (np.argmax, JSON round trips) must select, not fall
+        # into the weight-vector branch with a bogus shape error
+        baked_np = bake_style(multi, np.int64(1))
+        baked_py = bake_style(multi, 1)
+        np.testing.assert_array_equal(
+            np.asarray(baked_np["norm1"]["gamma"]),
+            np.asarray(baked_py["norm1"]["gamma"]),
+        )
+        # blends must be convex — scaled affines would otherwise ship into
+        # exports silently
+        with pytest.raises(ValueError, match="convex"):
+            bake_style(multi, [0.5, 0.7, 0.0])
+        with pytest.raises(ValueError, match="convex"):
+            bake_style(multi, [1.5, -0.5, 0.0])
 
 
 class TestStyleLoss:
@@ -152,6 +170,12 @@ class TestStyleLoss:
         with pytest.raises(ValueError, match="style_select"):
             style_loss(
                 [jnp.zeros((1, 4, 4, 8))], [jnp.zeros((2, 8, 8))], [1.0]
+            )
+        # and the symmetric mistake: conditioned generator, single targets
+        with pytest.raises(ValueError, match="single-style"):
+            style_loss(
+                [jnp.zeros((2, 4, 4, 8))], [jnp.zeros((8, 8))], [1.0],
+                style_select=jnp.eye(2),
             )
 
 
@@ -358,6 +382,32 @@ class TestEndToEnd:
         with pytest.raises(ValueError, match="style"):
             with pytest.warns(UserWarning, match="VGG19"):
                 train_style_transfer(cfg2)
+
+        # a reference TRAINING checkpoint (single-style by definition) into
+        # a multi-style run must fail early with the reason, not at trace
+        # time deep inside the first jitted step
+        import torch
+
+        ref_ckpt = str(workspace / "ref_train.pth")
+        torch.save({"model_state_dict": {}, "optimizer_state_dict": {},
+                    "iteration": 3}, ref_ckpt)
+        cfg3 = TrainConfig(
+            style_image=(
+                str(workspace / "style_a.jpg"),
+                str(workspace / "style_b.jpg"),
+            ),
+            dataset_dir=str(workspace / "data"),
+            output_dir=str(workspace / "out3"),
+            total_steps=1,
+            batch_size=8,
+            image_size=(32, 32),
+            num_workers=2,
+            resume=False,
+            init_checkpoint=ref_ckpt,
+        )
+        with pytest.raises(ValueError, match="single-style"):
+            with pytest.warns(UserWarning, match="VGG19"):
+                train_style_transfer(cfg3)
 
 
 class TestComposition:
