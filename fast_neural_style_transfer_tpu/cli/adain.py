@@ -1,0 +1,132 @@
+"""AdaIN CLI: train the arbitrary-style decoder / stylize with ANY style.
+
+Beyond the reference's one-net-per-style regime: after one decoder
+training run, stylization takes a content image AND a style image at
+inference time (models/adain.py).
+
+    fnst-adain train --content_dir coco/ --style_dir wikiart/ --output_dir out
+    fnst-adain stylize --decoder out/adain_decoder_final.npz \
+        --content_image photo.jpg --style_image any_painting.jpg \
+        --output stylized.jpg --alpha 0.8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="AdaIN arbitrary-style transfer (train / stylize)"
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train the decoder")
+    t.add_argument("--content_dir", required=True)
+    t.add_argument("--style_dir", required=True,
+                   help="Directory of style images (e.g. a painting corpus)")
+    t.add_argument("--output_dir", default="adain_output")
+    t.add_argument("--vgg_weights", default=None)
+    t.add_argument("--total_steps", type=int, default=20_000)
+    t.add_argument("--batch_size", type=int, default=8)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--style_weight", type=float, default=10.0)
+    t.add_argument("--image_size", type=int, nargs=2, default=(256, 256),
+                   metavar=("H", "W"))
+    t.add_argument("--precision", default="f32", choices=["f32", "bf16"])
+    t.add_argument("--num_workers", type=int, default=8)
+    t.add_argument("--checkpoint_every", type=int, default=2000)
+    t.add_argument("--seed", type=int, default=0)
+
+    s = sub.add_parser("stylize", help="stylize with an arbitrary style image")
+    s.add_argument("--decoder", required=True,
+                   help="trained decoder: .npz or Orbax checkpoint dir")
+    s.add_argument("--content_image", required=True)
+    s.add_argument("--style_image", required=True)
+    s.add_argument("--output", default="adain_stylized.jpg")
+    s.add_argument("--alpha", type=float, default=1.0,
+                   help="style strength in [0, 1] (0 = content reconstruction)")
+    s.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"))
+    s.add_argument("--vgg_weights", default=None)
+    s.add_argument("--precision", default="f32", choices=["f32", "bf16"])
+    return p
+
+
+def load_decoder(path: str):
+    """Decoder params from .npz or an Orbax checkpoint directory."""
+    import jax
+
+    from fast_neural_style_transfer_tpu.models.adain import AdaINDecoder
+
+    template = AdaINDecoder.init(jax.random.PRNGKey(0))
+    if path.endswith(".npz"):
+        from fast_neural_style_transfer_tpu.train.checkpoint import load_params_npz
+
+        return load_params_npz(template, path)
+    import os
+
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no such decoder checkpoint: {path}")
+    from fast_neural_style_transfer_tpu.train.checkpoint import CheckpointManager
+
+    return CheckpointManager(path).restore_params(template)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from fast_neural_style_transfer_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.cmd == "train":
+        from fast_neural_style_transfer_tpu.train.adain import (
+            AdaINTrainConfig,
+            train_adain,
+        )
+
+        train_adain(AdaINTrainConfig(
+            content_dir=args.content_dir,
+            style_dir=args.style_dir,
+            output_dir=args.output_dir,
+            vgg_weights=args.vgg_weights,
+            total_steps=args.total_steps,
+            batch_size=args.batch_size,
+            lr=args.lr,
+            style_weight=args.style_weight,
+            image_size=tuple(args.image_size),
+            precision=args.precision,
+            num_workers=args.num_workers,
+            checkpoint_every=args.checkpoint_every,
+            seed=args.seed,
+        ))
+        return
+
+    # stylize
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_neural_style_transfer_tpu.core.dtypes import canonical_compute_dtype
+    from fast_neural_style_transfer_tpu.core.shapes import pad_to_multiple_reflect
+    from fast_neural_style_transfer_tpu.models.adain import stylize_arbitrary
+    from fast_neural_style_transfer_tpu.models.vgg_weights import resolve_params
+    from fast_neural_style_transfer_tpu.utils import load_image, save_image
+
+    prec = canonical_compute_dtype(args.precision)
+    vgg_params = resolve_params(args.vgg_weights)
+    decoder = load_decoder(args.decoder)
+    size = tuple(args.size) if args.size else None
+    content = jnp.asarray(load_image(args.content_image, size))
+    style = jnp.asarray(load_image(args.style_image, None))
+    # content H, W must divide 8 (VGG pools + decoder ups); reflect-pad up
+    # and crop back. The style image only contributes channel statistics,
+    # but VGG's pools still need its dims to divide 8.
+    content, (h, w) = pad_to_multiple_reflect(content, 8)
+    style, _ = pad_to_multiple_reflect(style, 8)
+    out = stylize_arbitrary(decoder, vgg_params, content, style,
+                            alpha=args.alpha, precision=prec)
+    save_image(np.asarray(out)[:, :h, :w, :], args.output)
+    print(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

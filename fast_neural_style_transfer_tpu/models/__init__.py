@@ -4,6 +4,11 @@ from fast_neural_style_transfer_tpu.models.transformer import (
     num_styles,
 )
 from fast_neural_style_transfer_tpu.models.vgg import VGG19Features, VGG19_TAPS
+from fast_neural_style_transfer_tpu.models.adain import (
+    AdaINDecoder,
+    adain,
+    stylize_arbitrary,
+)
 
 __all__ = ["TransformerNet", "VGG19Features", "VGG19_TAPS", "bake_style",
-           "num_styles"]
+           "num_styles", "AdaINDecoder", "adain", "stylize_arbitrary"]

@@ -1,0 +1,127 @@
+"""AdaIN arbitrary-style transfer (Huang & Belongie 2017, arXiv:1703.06868).
+
+A second model family beyond the reference (which trains one feed-forward
+net per style, /root/reference/train.py): ONE trained decoder stylizes with
+ANY style image at inference, no retraining. Mechanism: encode content and
+style through frozen VGG19 to relu4_1, re-normalize the content feature's
+per-channel statistics to the style feature's (adaptive instance norm),
+decode back to pixels. Style "strength" is a free inference knob
+(``alpha`` interpolates the AdaIN target with the content feature).
+
+TPU-shaped like the rest of the framework: pure-functional params pytrees,
+NHWC, stats in f32, the whole stylize/train step one jitted XLA program.
+The decoder mirrors VGG19 down from relu4_1 with reflect-padded 3x3 convs
+(``ops.reflect_conv2d`` — same lowering tiers as the stylizer) and
+nearest-neighbor x2 upsampling (checkerboard-free, and XLA lowers the
+repeat to a cheap broadcast-reshape).
+
+Reuses the frozen ``VGG19Features`` encoder (models/vgg.py) — taps
+relu1_1/relu2_1/relu3_1/relu4_1 are the AdaIN paper's loss layers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fast_neural_style_transfer_tpu.core.dtypes import Precision
+from fast_neural_style_transfer_tpu.models.transformer import _init_conv
+from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+from fast_neural_style_transfer_tpu.ops import reflect_conv2d
+
+Params = Dict[str, Any]
+
+ENCODE_TAP = "relu4_1"
+STYLE_TAPS: Tuple[str, ...] = ("relu1_1", "relu2_1", "relu3_1", "relu4_1")
+
+# Decoder program: mirror of VGG19 conv1_1..relu4_1. Entries are
+# (out_channels, upsample_before). All 3x3 reflect convs + ReLU except the
+# final 64->3, which is linear (pixels come back in network space).
+_DECODER_CFG: Tuple[Tuple[int, bool], ...] = (
+    (256, False),          # 512 -> 256
+    (256, True), (256, False), (256, False), (128, False),  # x2 up, 256 stage
+    (128, True), (64, False),                               # x2 up, 128 stage
+    (64, True), (3, False),                                 # x2 up, to RGB
+)
+
+
+def channel_stats(x: jnp.ndarray, eps: float = 1e-5):
+    """Per-(batch, channel) mean and std over H, W — f32, biased variance
+    (matches instance-norm statistics, ops/norm.py). Returns (B,1,1,C)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    return mean, jnp.sqrt(var + eps)
+
+
+def adain(content_feat: jnp.ndarray, style_feat: jnp.ndarray) -> jnp.ndarray:
+    """Adaptive instance norm: re-normalize content channel statistics to the
+    style's — ``sigma_s * (x - mu_c) / sigma_c + mu_s`` (paper eq. 8)."""
+    mu_c, sigma_c = channel_stats(content_feat)
+    mu_s, sigma_s = channel_stats(style_feat)
+    out = sigma_s * (content_feat.astype(jnp.float32) - mu_c) / sigma_c + mu_s
+    return out.astype(content_feat.dtype)
+
+
+class AdaINDecoder:
+    """Pure-functional decoder: relu4_1 feature map (B, H/8, W/8, 512) ->
+    network-space image (B, H, W, 3)."""
+
+    @staticmethod
+    def init(key: jax.Array) -> Params:
+        keys = jax.random.split(key, len(_DECODER_CFG))
+        params: Params = {"convs": []}
+        cin = 512
+        for k, (cout, _) in zip(keys, _DECODER_CFG):
+            params["convs"].append(_init_conv(k, 3, cin, cout))
+            cin = cout
+        return params
+
+    @staticmethod
+    def apply(
+        params: Params,
+        feat: jnp.ndarray,
+        *,
+        precision: Precision = Precision.f32(),
+    ) -> jnp.ndarray:
+        x = feat.astype(precision.compute_dtype)
+        last = len(_DECODER_CFG) - 1
+        for i, (p, (_, up)) in enumerate(zip(params["convs"], _DECODER_CFG)):
+            if up:  # nearest x2: broadcast-reshape under XLA, no FLOPs
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            w = p["w"].astype(precision.compute_dtype)
+            b = p["b"].astype(jnp.float32)
+            x = reflect_conv2d(x, w, b, stride=1,
+                               accum_dtype=precision.accum_dtype)
+            if i != last:
+                x = jax.nn.relu(x)
+            x = x.astype(precision.compute_dtype)
+        return x
+
+
+def stylize_arbitrary(
+    decoder_params: Params,
+    vgg_params: Any,
+    content: jnp.ndarray,
+    style: jnp.ndarray,
+    *,
+    alpha: float = 1.0,
+    precision: Precision = Precision.f32(),
+) -> jnp.ndarray:
+    """One arbitrary-style forward: encode both, AdaIN, blend, decode.
+
+    ``alpha`` in [0, 1]: 1.0 = full stylization, 0.0 = reconstruct the
+    content (paper §7.1 runtime control). Content H, W must be multiples
+    of 8 (three VGG pools down, three x2 ups back); the style image may be
+    any VGG-poolable size — only its channel statistics are used.
+    """
+    (c_feat,) = VGG19Features.apply(vgg_params, content, (ENCODE_TAP,),
+                                    precision=precision)
+    (s_feat,) = VGG19Features.apply(vgg_params, style, (ENCODE_TAP,),
+                                    precision=precision)
+    t = adain(c_feat, s_feat)
+    t = alpha * t.astype(jnp.float32) + (1.0 - alpha) * c_feat.astype(jnp.float32)
+    return AdaINDecoder.apply(decoder_params, t.astype(c_feat.dtype),
+                              precision=precision)

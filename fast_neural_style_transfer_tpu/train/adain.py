@@ -1,0 +1,239 @@
+"""AdaIN decoder training: the jitted step and the orchestration loop.
+
+Trains the arbitrary-style decoder (models/adain.py) per Huang & Belongie
+2017 §6: content batches and style batches stream independently, each step
+pairs them, and the loss is
+
+    L = ||f(g(t)) - t||^2  +  lambda * sum_taps ( ||mu - mu_s||^2
+                                                 + ||sigma - sigma_s||^2 )
+
+with f = frozen VGG19 to relu4_1, t = AdaIN(f(content), f(style)), g = the
+decoder, stats over the paper's four taps (relu1_1..relu4_1), mean-MSE
+reductions, Adam lr 1e-4. Same TPU shape as the main trainer
+(train/step.py): the whole iteration is one XLA program; a batch sharded
+over the mesh's data axis trains data-parallel with XLA's implicit gradient
+psum; non-finite losses skip the update branch-free; checkpointing is the
+same Orbax manager.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fast_neural_style_transfer_tpu.core.dtypes import Precision, canonical_compute_dtype
+from fast_neural_style_transfer_tpu.models.adain import (
+    AdaINDecoder,
+    STYLE_TAPS,
+    adain,
+    channel_stats,
+)
+from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+from fast_neural_style_transfer_tpu.train.state import TrainState, create_train_state
+from fast_neural_style_transfer_tpu.train.step import normalize_u8_batch
+
+
+def adain_loss_fn(
+    decoder_params: Any,
+    vgg_params: Any,
+    content: jnp.ndarray,
+    style: jnp.ndarray,
+    style_weight: jnp.ndarray,
+    *,
+    precision: Precision,
+):
+    """(total, metrics) for one (content batch, style batch) pair."""
+    content = normalize_u8_batch(content)
+    style = normalize_u8_batch(style)
+    vgg_params = jax.lax.stop_gradient(vgg_params)
+
+    (c_feat,) = VGG19Features.apply(
+        jax.lax.stop_gradient(vgg_params),
+        jax.lax.stop_gradient(content),
+        (STYLE_TAPS[-1],),
+        precision=precision,
+    )
+    s_feats = VGG19Features.apply(
+        vgg_params, jax.lax.stop_gradient(style), STYLE_TAPS, precision=precision
+    )
+    s_feats = [jax.lax.stop_gradient(f) for f in s_feats]
+    c_feat = jax.lax.stop_gradient(c_feat)
+
+    t = jax.lax.stop_gradient(adain(c_feat, s_feats[-1]))
+    img = AdaINDecoder.apply(decoder_params, t, precision=precision)
+    o_feats = VGG19Features.apply(vgg_params, img, STYLE_TAPS, precision=precision)
+
+    # content: mean-MSE against the AdaIN target (paper eq. 12 — against t,
+    # not the raw content feature)
+    diff = o_feats[-1].astype(jnp.float32) - t.astype(jnp.float32)
+    c_loss = jnp.mean(jnp.square(diff))
+
+    # style: channel mean/std alignment at every tap (paper eq. 13)
+    s_loss = jnp.asarray(0.0, jnp.float32)
+    for o, s in zip(o_feats, s_feats):
+        mu_o, sd_o = channel_stats(o)
+        mu_s, sd_s = channel_stats(s)
+        s_loss = s_loss + jnp.mean(jnp.square(mu_o - mu_s))
+        s_loss = s_loss + jnp.mean(jnp.square(sd_o - sd_s))
+
+    total = c_loss + style_weight * s_loss
+    return total, {
+        "loss": total,
+        "content_loss": c_loss,
+        "style_loss": s_loss,
+    }
+
+
+def make_adain_train_step(
+    optimizer: optax.GradientTransformation,
+    *,
+    style_weight: float = 10.0,
+    precision: Precision = Precision.f32(),
+    donate: bool = True,
+) -> Callable:
+    """Jitted ``step(state, vgg_params, content, style) -> (state, metrics)``.
+
+    Same robustness contract as the main trainer: a non-finite loss reverts
+    params, optimizer state, AND the step counter (branch-free select)."""
+    sw = jnp.asarray(style_weight, jnp.float32)
+
+    def step_fn(state: TrainState, vgg_params, content, style):
+        grads, metrics = jax.grad(
+            lambda p: adain_loss_fn(p, vgg_params, content, style, sw,
+                                    precision=precision),
+            has_aux=True,
+        )(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        finite = jnp.isfinite(metrics["loss"])
+        select = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
+        return (
+            TrainState(
+                params=select(new_params, state.params),
+                opt_state=select(new_opt_state, state.opt_state),
+                step=state.step + finite.astype(state.step.dtype),
+            ),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+@dataclasses.dataclass
+class AdaINTrainConfig:
+    content_dir: str
+    style_dir: str
+    output_dir: str = "adain_output"
+    vgg_weights: Optional[str] = None
+
+    total_steps: int = 20_000
+    batch_size: int = 8
+    lr: float = 1e-4
+    style_weight: float = 10.0
+    image_size: Tuple[int, int] = (256, 256)
+    precision: str = "f32"
+    seed: int = 0
+    num_workers: int = 8
+
+    log_every: int = 100
+    checkpoint_every: int = 2000
+    resume: bool = True
+    max_checkpoints: int = 3
+
+
+def train_adain(cfg: AdaINTrainConfig) -> str:
+    """Train the arbitrary-style decoder; returns the final .npz path."""
+    from fast_neural_style_transfer_tpu.data import ImageFolderDataset, InputPipeline
+    from fast_neural_style_transfer_tpu.models.vgg_weights import resolve_params
+    from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+    from fast_neural_style_transfer_tpu.train.checkpoint import (
+        CheckpointManager,
+        save_params_npz,
+    )
+    from fast_neural_style_transfer_tpu.train.state import replicate_state
+    from fast_neural_style_transfer_tpu.utils import MetricLogger
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    if cfg.image_size[0] % 8 or cfg.image_size[1] % 8:
+        raise ValueError(
+            f"image_size {cfg.image_size} must be a multiple of 8 (three VGG "
+            "pools down, three x2 decoder ups back)"
+        )
+    prec = canonical_compute_dtype(cfg.precision)
+    plan = make_mesh_plan()
+    plan.check_batch(cfg.batch_size)
+
+    vgg_params = jax.device_put(
+        resolve_params(cfg.vgg_weights, seed=cfg.seed), plan.replicated
+    )
+    optimizer = optax.adam(cfg.lr)
+    state = create_train_state(AdaINDecoder.init(jax.random.PRNGKey(cfg.seed)),
+                               optimizer)
+    state = replicate_state(state, plan.replicated)
+
+    ckpt = CheckpointManager(os.path.join(cfg.output_dir, "checkpoints"),
+                             max_to_keep=cfg.max_checkpoints)
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed AdaIN decoder from step {int(state.step)}", flush=True)
+
+    step = make_adain_train_step(optimizer, style_weight=cfg.style_weight,
+                                 precision=prec)
+
+    # two independent streams; different seeds decorrelate the pairing
+    content_pipe = InputPipeline(
+        ImageFolderDataset(cfg.content_dir, cfg.image_size, seed=cfg.seed),
+        cfg.batch_size, seed=cfg.seed, num_workers=cfg.num_workers,
+        sharding=plan.batch_sharding,
+    )
+    style_pipe = InputPipeline(
+        ImageFolderDataset(cfg.style_dir, cfg.image_size, seed=cfg.seed + 7),
+        cfg.batch_size, seed=cfg.seed + 7, num_workers=cfg.num_workers,
+        sharding=plan.batch_sharding,
+    )
+
+    logger = MetricLogger(os.path.join(cfg.output_dir, "metrics.jsonl"),
+                          print_every=cfg.log_every)
+    n = int(state.step)
+    t0 = time.perf_counter()
+    try:
+        for content, style in zip(content_pipe.device_batches(),
+                                  style_pipe.device_batches()):
+            if n >= cfg.total_steps:
+                break
+            state, metrics = step(state, vgg_params, content, style)
+            n += 1
+            logger.update(metrics)
+            if logger.should_log(n):
+                logger.flush(n)
+            if n % cfg.checkpoint_every == 0:
+                ckpt.save(n, state)
+                print(f"AdaIN checkpoint saved at step {n}", flush=True)
+    finally:
+        if logger.pending:
+            logger.flush(n)
+        if n > 0 and ckpt.latest_step() != n:
+            ckpt.save(n, state)
+        ckpt.close()
+        logger.close()
+
+    wall = time.perf_counter() - t0
+    if n:
+        print(f"AdaIN: trained to step {n} in {wall:.1f}s", flush=True)
+    final = os.path.join(cfg.output_dir, "adain_decoder_final.npz")
+    save_params_npz(jax.device_get(state.params), final)
+    print(f"AdaIN decoder saved to {final}", flush=True)
+    return final

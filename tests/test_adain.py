@@ -1,0 +1,221 @@
+"""AdaIN arbitrary-style transfer (models/adain.py, train/adain.py).
+
+Second model family, beyond the reference's one-net-per-style regime
+(Huang & Belongie 2017): pins the AdaIN statistic-alignment property, the
+decoder geometry, the training step's loss mechanics and robustness
+contract, data-parallel parity on the 8-device mesh, and the end-to-end
+CLI train -> arbitrary-style stylize flow.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from fast_neural_style_transfer_tpu.models.adain import (
+    AdaINDecoder,
+    adain,
+    channel_stats,
+    stylize_arbitrary,
+)
+
+
+class TestAdaINOp:
+    def test_stats_match_numpy(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4)) * 3 + 1
+        mu, sd = channel_stats(x)
+        ref_mu = np.asarray(x).mean(axis=(1, 2), keepdims=True)
+        ref_sd = np.sqrt(np.asarray(x).var(axis=(1, 2), keepdims=True) + 1e-5)
+        np.testing.assert_allclose(np.asarray(mu), ref_mu, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sd), ref_sd, rtol=1e-4)
+
+    def test_adain_aligns_statistics(self):
+        """The defining property: output channel stats == style channel
+        stats, regardless of the content distribution."""
+        c = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8)) * 5 - 2
+        s = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 8)) * 0.5 + 3
+        out = adain(c, s)
+        mu_o, sd_o = channel_stats(out)
+        mu_s, sd_s = channel_stats(s)
+        np.testing.assert_allclose(np.asarray(mu_o), np.asarray(mu_s),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sd_o), np.asarray(sd_s),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_adain_identity_when_same_stats(self):
+        c = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+        np.testing.assert_allclose(np.asarray(adain(c, c)), np.asarray(c),
+                                   atol=1e-4)
+
+
+class TestDecoder:
+    def test_geometry_and_param_shapes(self):
+        params = AdaINDecoder.init(jax.random.PRNGKey(0))
+        assert params["convs"][0]["w"].shape == (3, 3, 512, 256)
+        assert params["convs"][-1]["w"].shape == (3, 3, 64, 3)
+        feat = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 6, 512))
+        out = AdaINDecoder.apply(params, feat)
+        assert out.shape == (2, 32, 48, 3)  # three x2 ups
+
+    def test_stylize_arbitrary_end_to_end_shapes(self):
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        style = jax.random.normal(jax.random.PRNGKey(3), (1, 48, 40, 3))
+        out = stylize_arbitrary(dec, vgg, content, style)
+        assert out.shape == (1, 32, 32, 3)
+        # alpha=0 must equal decoding the raw content feature (style-free)
+        out0 = stylize_arbitrary(dec, vgg, content, style, alpha=0.0)
+        (c_feat,) = VGG19Features.apply(vgg, content, ("relu4_1",))
+        np.testing.assert_allclose(
+            np.asarray(out0), np.asarray(AdaINDecoder.apply(dec, c_feat)),
+            atol=1e-5,
+        )
+        # different styles produce different outputs
+        style2 = jax.random.normal(jax.random.PRNGKey(4), (1, 48, 40, 3)) * 2
+        out2 = stylize_arbitrary(dec, vgg, content, style2)
+        assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4
+
+
+class TestTrainStep:
+    def _setup(self, batch=4, hw=32):
+        import optax
+
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+        from fast_neural_style_transfer_tpu.train.adain import make_adain_train_step
+        from fast_neural_style_transfer_tpu.train.state import create_train_state
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        state = create_train_state(AdaINDecoder.init(jax.random.PRNGKey(1)), opt)
+        step = make_adain_train_step(opt, donate=False)
+        content = jax.random.normal(jax.random.PRNGKey(2), (batch, hw, hw, 3))
+        style = jax.random.normal(jax.random.PRNGKey(3), (batch, hw, hw, 3))
+        return state, vgg, content, style, step
+
+    def test_loss_decreases_on_fixed_batch(self):
+        state, vgg, content, style, step = self._setup()
+        losses = []
+        for _ in range(6):
+            state, metrics = step(state, vgg, content, style)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 6
+
+    def test_dp_sharded_matches_single_device(self):
+        """The AdaIN step must partition over the data mesh value-identically
+        (per-(b, c) stats never cross the batch axis)."""
+        import optax
+
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+        from fast_neural_style_transfer_tpu.train.adain import make_adain_train_step
+        from fast_neural_style_transfer_tpu.train.state import (
+            create_train_state,
+            replicate_state,
+        )
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        opt = optax.sgd(1e-3)  # see test_multistyle: Adam amplifies ~0 grads
+        state = create_train_state(AdaINDecoder.init(jax.random.PRNGKey(1)), opt)
+        step = make_adain_train_step(opt, donate=False)
+        content = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3))
+        style = jax.random.normal(jax.random.PRNGKey(3), (8, 32, 32, 3))
+
+        s1, m1 = step(state, vgg, content, style)
+
+        plan = make_mesh_plan()
+        s8, m8 = step(
+            replicate_state(state, plan.replicated),
+            jax.device_put(vgg, plan.replicated),
+            jax.device_put(content, plan.batch_sharding),
+            jax.device_put(style, plan.batch_sharding),
+        )
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                                   rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            s1.params, s8.params,
+        )
+
+    def test_nonfinite_loss_skips_update(self):
+        state, vgg, content, style, step = self._setup()
+        bad = content.at[0, 0, 0, 0].set(jnp.nan)
+        new_state, metrics = step(state, vgg, bad, style)
+        assert float(metrics["skipped_nonfinite"]) == 1.0
+        assert int(new_state.step) == 0
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            new_state.params, state.params,
+        )
+
+
+class TestEndToEnd:
+    @pytest.fixture
+    def workspace(self, tmp_path):
+        rng = np.random.default_rng(0)
+        for sub in ("content", "styles"):
+            d = tmp_path / sub
+            d.mkdir()
+            for i in range(10):
+                Image.fromarray(
+                    rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+                ).save(d / f"{sub}_{i}.jpg")
+        Image.fromarray(
+            rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        ).save(tmp_path / "new_style.jpg")  # never seen in training
+        return tmp_path
+
+    def test_cli_train_then_arbitrary_stylize(self, workspace):
+        from fast_neural_style_transfer_tpu.cli.adain import main as adain_main
+
+        out_dir = str(workspace / "out")
+        with pytest.warns(UserWarning, match="VGG19"):
+            adain_main([
+                "train",
+                "--content_dir", str(workspace / "content"),
+                "--style_dir", str(workspace / "styles"),
+                "--output_dir", out_dir,
+                "--total_steps", "2",
+                "--batch_size", "8",
+                "--image_size", "32", "32",
+                "--num_workers", "2",
+                "--checkpoint_every", "2",
+            ])
+        final = os.path.join(out_dir, "adain_decoder_final.npz")
+        assert os.path.exists(final)
+        records = [json.loads(l)
+                   for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+        assert records and np.isfinite(records[-1]["loss"])
+
+        # stylize with a style image NEVER seen in training — the point of
+        # the model family; content size 40 is not a multiple of 8, so the
+        # CLI's pad/crop path is exercised too
+        out_img = str(workspace / "styled.jpg")
+        with pytest.warns(UserWarning, match="VGG19"):
+            adain_main([
+                "stylize",
+                "--decoder", final,
+                "--content_image", str(workspace / "content" / "content_0.jpg"),
+                "--style_image", str(workspace / "new_style.jpg"),
+                "--output", out_img,
+                "--alpha", "0.7",
+            ])
+        with Image.open(out_img) as im:
+            assert im.size == (40, 40)
+
+        # Orbax checkpoint dir loads too
+        from fast_neural_style_transfer_tpu.cli.adain import load_decoder
+
+        params = load_decoder(os.path.join(out_dir, "checkpoints"))
+        assert params["convs"][0]["w"].shape == (3, 3, 512, 256)
