@@ -42,7 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--decoder", required=True,
                    help="trained decoder: .npz or Orbax checkpoint dir")
     s.add_argument("--content_image", required=True)
-    s.add_argument("--style_image", required=True)
+    s.add_argument("--style_image", required=True, nargs="+",
+                   help="style image(s); several interpolate styles "
+                        "(weights via --style_blend, default equal)")
+    s.add_argument("--style_blend", type=float, nargs="+", default=None,
+                   metavar="W",
+                   help="convex interpolation weights, one per style image")
     s.add_argument("--output", default="adain_stylized.jpg")
     s.add_argument("--alpha", type=float, default=1.0,
                    help="style strength in [0, 1] (0 = content reconstruction)")
@@ -116,14 +121,17 @@ def main(argv=None) -> None:
     decoder = load_decoder(args.decoder)
     size = tuple(args.size) if args.size else None
     content = jnp.asarray(load_image(args.content_image, size))
-    style = jnp.asarray(load_image(args.style_image, None))
     # content H, W must divide 8 (VGG pools + decoder ups); reflect-pad up
-    # and crop back. The style image only contributes channel statistics,
-    # but VGG's pools still need its dims to divide 8.
+    # and crop back. Style images only contribute channel statistics, but
+    # VGG's pools still need their dims to divide 8.
     content, (h, w) = pad_to_multiple_reflect(content, 8)
-    style, _ = pad_to_multiple_reflect(style, 8)
-    out = stylize_arbitrary(decoder, vgg_params, content, style,
-                            alpha=args.alpha, precision=prec)
+    styles = [
+        pad_to_multiple_reflect(jnp.asarray(load_image(p, None)), 8)[0]
+        for p in args.style_image
+    ]
+    out = stylize_arbitrary(decoder, vgg_params, content, styles,
+                            alpha=args.alpha, style_weights=args.style_blend,
+                            precision=prec)
     save_image(np.asarray(out)[:, :h, :w, :], args.output)
     print(f"saved {args.output}")
 

@@ -105,23 +105,46 @@ def stylize_arbitrary(
     decoder_params: Params,
     vgg_params: Any,
     content: jnp.ndarray,
-    style: jnp.ndarray,
+    style,
     *,
     alpha: float = 1.0,
+    style_weights=None,
     precision: Precision = Precision.f32(),
 ) -> jnp.ndarray:
     """One arbitrary-style forward: encode both, AdaIN, blend, decode.
 
+    ``style``: one NHWC style image, or a list of them — a list
+    interpolates styles (paper eq. 15): each style's AdaIN target is
+    computed and convex-combined with ``style_weights`` (default: equal).
+    Style images may differ in size from the content and each other —
+    only their channel statistics are used.
+
     ``alpha`` in [0, 1]: 1.0 = full stylization, 0.0 = reconstruct the
     content (paper §7.1 runtime control). Content H, W must be multiples
-    of 8 (three VGG pools down, three x2 ups back); the style image may be
-    any VGG-poolable size — only its channel statistics are used.
+    of 8 (three VGG pools down, three x2 ups back).
     """
+    styles = list(style) if isinstance(style, (list, tuple)) else [style]
+    if style_weights is None:
+        weights = [1.0 / len(styles)] * len(styles)
+    else:
+        weights = [float(w) for w in style_weights]
+        if len(weights) != len(styles):
+            raise ValueError(
+                f"{len(weights)} style_weights for {len(styles)} style images"
+            )
+        if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-3:
+            raise ValueError(
+                f"style interpolation weights must be convex (>= 0, sum to "
+                f"1); got {weights} with sum {sum(weights):.4f}"
+            )
+
     (c_feat,) = VGG19Features.apply(vgg_params, content, (ENCODE_TAP,),
                                     precision=precision)
-    (s_feat,) = VGG19Features.apply(vgg_params, style, (ENCODE_TAP,),
-                                    precision=precision)
-    t = adain(c_feat, s_feat)
-    t = alpha * t.astype(jnp.float32) + (1.0 - alpha) * c_feat.astype(jnp.float32)
+    t = jnp.zeros_like(c_feat, dtype=jnp.float32)
+    for s_img, w in zip(styles, weights):
+        (s_feat,) = VGG19Features.apply(vgg_params, s_img, (ENCODE_TAP,),
+                                        precision=precision)
+        t = t + w * adain(c_feat, s_feat).astype(jnp.float32)
+    t = alpha * t + (1.0 - alpha) * c_feat.astype(jnp.float32)
     return AdaINDecoder.apply(decoder_params, t.astype(c_feat.dtype),
                               precision=precision)

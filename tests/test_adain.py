@@ -82,6 +82,33 @@ class TestDecoder:
         out2 = stylize_arbitrary(dec, vgg, content, style2)
         assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-4
 
+    def test_style_interpolation(self):
+        """Paper eq. 15: a convex combination of per-style AdaIN targets.
+        Weight (1, 0) must equal the single-style path; weights must be
+        validated convex."""
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        s1 = jax.random.normal(jax.random.PRNGKey(3), (1, 40, 40, 3))
+        s2 = jax.random.normal(jax.random.PRNGKey(4), (1, 24, 32, 3)) * 2
+
+        solo = stylize_arbitrary(dec, vgg, content, s1)
+        degenerate = stylize_arbitrary(dec, vgg, content, [s1, s2],
+                                       style_weights=[1.0, 0.0])
+        np.testing.assert_allclose(np.asarray(degenerate), np.asarray(solo),
+                                   atol=1e-5)
+        blend = stylize_arbitrary(dec, vgg, content, [s1, s2],
+                                  style_weights=[0.5, 0.5])
+        assert np.abs(np.asarray(blend) - np.asarray(solo)).max() > 1e-4
+        with pytest.raises(ValueError, match="convex"):
+            stylize_arbitrary(dec, vgg, content, [s1, s2],
+                              style_weights=[0.8, 0.8])
+        with pytest.raises(ValueError, match="style_weights"):
+            stylize_arbitrary(dec, vgg, content, [s1, s2],
+                              style_weights=[1.0])
+
 
 class TestTrainStep:
     def _setup(self, batch=4, hw=32):
