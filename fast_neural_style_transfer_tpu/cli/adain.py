@@ -54,6 +54,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"))
     s.add_argument("--vgg_weights", default=None)
     s.add_argument("--precision", default="f32", choices=["f32", "bf16"])
+
+    e = sub.add_parser("export", help="export the full pipeline to ONNX")
+    e.add_argument("--decoder", required=True)
+    e.add_argument("--onnx", required=True, help="output .onnx path")
+    e.add_argument("--vgg_weights", default=None)
+    e.add_argument("--alpha", type=float, default=1.0,
+                   help="style strength baked into the graph")
+    e.add_argument("--content_shape", type=int, nargs=2, default=(256, 256),
+                   metavar=("H", "W"))
+    e.add_argument("--style_shape", type=int, nargs=2, default=(256, 256),
+                   metavar=("H", "W"))
     return p
 
 
@@ -104,6 +115,24 @@ def main(argv=None) -> None:
             checkpoint_every=args.checkpoint_every,
             seed=args.seed,
         ))
+        return
+
+    if args.cmd == "export":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # host-side tensor shuffling
+        from fast_neural_style_transfer_tpu.export.onnx_adain import export_adain_onnx
+        from fast_neural_style_transfer_tpu.models.vgg_weights import resolve_params
+
+        export_adain_onnx(
+            load_decoder(args.decoder),
+            resolve_params(args.vgg_weights),
+            args.onnx,
+            alpha=args.alpha,
+            content_shape=(1, 3, *args.content_shape),
+            style_shape=(1, 3, *args.style_shape),
+        )
+        print(f"wrote {args.onnx}")
         return
 
     # stylize

@@ -22,6 +22,7 @@ import numpy as np
 from fast_neural_style_transfer_tpu.ops import (
     conv_transpose2d,
     instance_norm,
+    max_pool2d,
     reflect_conv2d,
 )
 from fast_neural_style_transfer_tpu.ops.conv import _conv
@@ -239,6 +240,49 @@ def run_model(data: bytes, feeds: Dict[str, np.ndarray]) -> List[np.ndarray]:
             out = jnp.maximum(jnp.asarray(env[ins[0]]), 0)
         elif op == "Add":
             out = jnp.asarray(env[ins[0]]) + jnp.asarray(env[ins[1]])
+        elif op == "Sub":
+            out = jnp.asarray(env[ins[0]]) - jnp.asarray(env[ins[1]])
+        elif op == "Mul":
+            out = jnp.asarray(env[ins[0]]) * jnp.asarray(env[ins[1]])
+        elif op == "Div":
+            out = jnp.asarray(env[ins[0]]) / jnp.asarray(env[ins[1]])
+        elif op == "Sqrt":
+            out = jnp.sqrt(jnp.asarray(env[ins[0]]))
+        elif op == "ReduceMean":
+            axes = tuple(attrs.get("axes", []))
+            keep = bool(attrs.get("keepdims", 1))
+            out = jnp.mean(jnp.asarray(env[ins[0]]),
+                           axis=axes or None, keepdims=keep)
+        elif op == "MaxPool":
+            ks = attrs.get("kernel_shape", [2, 2])
+            strides = attrs.get("strides", ks)
+            if any(attrs.get("pads", [])):
+                raise NotImplementedError("ONNX MaxPool pads not supported")
+            if list(ks) != [2, 2] or list(strides) != [2, 2]:
+                raise NotImplementedError(
+                    f"only 2x2/2 MaxPool supported, got {ks}/{strides}")
+            out = _nchw(max_pool2d(_nhwc(jnp.asarray(env[ins[0]]))))
+        elif op == "Resize":
+            mode = attrs.get("mode", b"nearest")
+            mode = mode.decode() if isinstance(mode, bytes) else mode
+            ctm = attrs.get("coordinate_transformation_mode", b"half_pixel")
+            ctm = ctm.decode() if isinstance(ctm, bytes) else ctm
+            nm = attrs.get("nearest_mode", b"round_prefer_floor")
+            nm = nm.decode() if isinstance(nm, bytes) else nm
+            if (mode, ctm, nm) != ("nearest", "asymmetric", "floor"):
+                raise NotImplementedError(
+                    f"only nearest/asymmetric/floor Resize supported, got "
+                    f"{(mode, ctm, nm)}")
+            scales = np.asarray(env[ins[2]])
+            if scales.shape != (4,) or scales[0] != 1 or scales[1] != 1 \
+                    or scales[2] != int(scales[2]) or scales[3] != int(scales[3]):
+                raise NotImplementedError(
+                    f"only integer NCHW spatial Resize scales supported: "
+                    f"{scales}")
+            x = jnp.asarray(env[ins[0]])
+            # nearest + asymmetric + floor at integer scale == repeat
+            out = jnp.repeat(jnp.repeat(x, int(scales[2]), axis=2),
+                             int(scales[3]), axis=3)
         else:
             raise NotImplementedError(f"ONNX op {op} not supported by this runner")
         env[n["outputs"][0]] = out

@@ -187,6 +187,53 @@ class TestTrainStep:
         )
 
 
+class TestONNXExport:
+    def test_exported_pipeline_matches_native(self, tmp_path):
+        """The exported two-input graph, executed by the mini ONNX runtime,
+        must reproduce stylize_arbitrary — verifying the whole opset-11
+        lowering (VGG walk, stat chain, nearest Resize) end to end."""
+        from fast_neural_style_transfer_tpu.export.onnx_adain import (
+            export_adain_onnx,
+        )
+        from fast_neural_style_transfer_tpu.export.onnx_runtime import run_model
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        style = jax.random.normal(jax.random.PRNGKey(3), (1, 40, 48, 3))
+
+        path = str(tmp_path / "adain.onnx")
+        export_adain_onnx(dec, vgg, path, alpha=0.8,
+                          content_shape=(1, 3, 32, 32),
+                          style_shape=(1, 3, 40, 48))
+        with open(path, "rb") as f:
+            data = f.read()
+        (out,) = run_model(data, {
+            "content_image": np.transpose(np.asarray(content), (0, 3, 1, 2)),
+            "style_image": np.transpose(np.asarray(style), (0, 3, 1, 2)),
+        })
+        native = stylize_arbitrary(dec, vgg, content, style, alpha=0.8)
+        np.testing.assert_allclose(
+            np.transpose(out, (0, 2, 3, 1)), np.asarray(native),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    def test_non_multiple_of_8_rejected(self, tmp_path):
+        from fast_neural_style_transfer_tpu.export.onnx_adain import (
+            export_adain_onnx,
+        )
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        with pytest.raises(ValueError, match="multiples of 8"):
+            export_adain_onnx(
+                AdaINDecoder.init(jax.random.PRNGKey(0)),
+                VGG19Features.init(jax.random.PRNGKey(1)),
+                str(tmp_path / "x.onnx"),
+                content_shape=(1, 3, 30, 32),
+            )
+
+
 class TestEndToEnd:
     @pytest.fixture
     def workspace(self, tmp_path):

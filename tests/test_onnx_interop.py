@@ -78,6 +78,28 @@ def test_exported_stylizer_decodes_against_onnx_schema():
     assert "dims: 64" in text and "dims: 9" in text
 
 
+@pytest.mark.skipif(not HAS_PROTOC, reason="protoc not available")
+def test_exported_adain_decodes_against_onnx_schema():
+    import jax
+
+    from fast_neural_style_transfer_tpu.export.onnx_adain import build_adain_onnx
+    from fast_neural_style_transfer_tpu.models import AdaINDecoder, VGG19Features
+
+    data = build_adain_onnx(
+        AdaINDecoder.init(jax.random.PRNGKey(0)),
+        VGG19Features.init(jax.random.PRNGKey(1)),
+        content_shape=(1, 3, 32, 32), style_shape=(1, 3, 40, 48),
+    )
+    text = _protoc(["--decode=onnx.ModelProto"], data).decode()
+    for op in ("MaxPool", "Resize", "ReduceMean", "Sqrt", "Sub", "Mul",
+               "Div", "Conv", "Pad", "Relu", "Add"):
+        assert f'op_type: "{op}"' in text, op
+    assert 'name: "content_image"' in text and 'name: "style_image"' in text
+    assert 'name: "output_image"' in text
+    # the two VGG branches share initializers: each emitted exactly once
+    assert text.count('name: "vgg.conv1_1.weight"') == 1
+
+
 # -- leg 2/3: protoc-encoded model executed by our runtime, torch as oracle ---
 
 
