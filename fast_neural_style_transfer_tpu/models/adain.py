@@ -140,11 +140,18 @@ def stylize_arbitrary(
 
     (c_feat,) = VGG19Features.apply(vgg_params, content, (ENCODE_TAP,),
                                     precision=precision)
-    t = jnp.zeros_like(c_feat, dtype=jnp.float32)
+    # Normalize the content feature ONCE — each style only rescales it
+    # (sigma_s * c_norm + mu_s). The per-style loop must not recompute the
+    # full-feature-map content statistics: this path runs un-jitted from the
+    # CLI, so XLA CSE never gets a chance to dedupe the reduction.
+    mu_c, sigma_c = channel_stats(c_feat)
+    c_norm = (c_feat.astype(jnp.float32) - mu_c) / sigma_c
+    t = jnp.zeros_like(c_norm)
     for s_img, w in zip(styles, weights):
         (s_feat,) = VGG19Features.apply(vgg_params, s_img, (ENCODE_TAP,),
                                         precision=precision)
-        t = t + w * adain(c_feat, s_feat).astype(jnp.float32)
+        mu_s, sigma_s = channel_stats(s_feat)
+        t = t + w * (sigma_s * c_norm + mu_s)
     t = alpha * t + (1.0 - alpha) * c_feat.astype(jnp.float32)
     return AdaINDecoder.apply(decoder_params, t.astype(c_feat.dtype),
                               precision=precision)

@@ -50,23 +50,20 @@ def adain_loss_fn(
     precision: Precision,
 ):
     """(total, metrics) for one (content batch, style batch) pair."""
+    # No stop_gradient anywhere: the grad is taken w.r.t. decoder_params
+    # only (make_adain_train_step differentiates the first argument), and
+    # none of the encoder features depend on it — t is the decoder's INPUT,
+    # fully computed before decoder_params is touched.
     content = normalize_u8_batch(content)
     style = normalize_u8_batch(style)
-    vgg_params = jax.lax.stop_gradient(vgg_params)
 
     (c_feat,) = VGG19Features.apply(
-        jax.lax.stop_gradient(vgg_params),
-        jax.lax.stop_gradient(content),
-        (STYLE_TAPS[-1],),
-        precision=precision,
+        vgg_params, content, (STYLE_TAPS[-1],), precision=precision
     )
-    s_feats = VGG19Features.apply(
-        vgg_params, jax.lax.stop_gradient(style), STYLE_TAPS, precision=precision
-    )
-    s_feats = [jax.lax.stop_gradient(f) for f in s_feats]
-    c_feat = jax.lax.stop_gradient(c_feat)
+    s_feats = VGG19Features.apply(vgg_params, style, STYLE_TAPS,
+                                  precision=precision)
 
-    t = jax.lax.stop_gradient(adain(c_feat, s_feats[-1]))
+    t = adain(c_feat, s_feats[-1])
     img = AdaINDecoder.apply(decoder_params, t, precision=precision)
     o_feats = VGG19Features.apply(vgg_params, img, STYLE_TAPS, precision=precision)
 
@@ -186,9 +183,19 @@ def train_adain(cfg: AdaINTrainConfig) -> str:
 
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "checkpoints"),
                              max_to_keep=cfg.max_checkpoints)
+    # Resume the LOOP counter from the checkpoint label, not state.step:
+    # non-finite skipped iterations advance the loop (and therefore the
+    # label) but not state.step, and Orbax refuses to re-save an existing
+    # label — resuming at state.step would re-reach and re-save it.
+    resume_label = None
     if cfg.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
-        print(f"resumed AdaIN decoder from step {int(state.step)}", flush=True)
+        resume_label = ckpt.latest_step()
+        print(
+            f"resumed AdaIN decoder from checkpoint {resume_label} "
+            f"(optimizer step {int(state.step)})",
+            flush=True,
+        )
 
     step = make_adain_train_step(optimizer, style_weight=cfg.style_weight,
                                  precision=prec)
@@ -207,12 +214,32 @@ def train_adain(cfg: AdaINTrainConfig) -> str:
 
     logger = MetricLogger(os.path.join(cfg.output_dir, "metrics.jsonl"),
                           print_every=cfg.log_every)
-    n = int(state.step)
+    start = int(state.step) if resume_label is None else resume_label
+    n = start
     t0 = time.perf_counter()
+
+    # Preemption handling, same contract as the main trainer
+    # (train/loop.py): TPU VMs get SIGTERM before eviction — finish the
+    # in-flight step, then the finally block persists a restorable
+    # checkpoint. Installed only on the main thread; restored after.
+    import signal
+    import threading
+
+    stop_requested = threading.Event()
+    handler_installed = False
+    prev_handler = None
+    if threading.current_thread() is threading.main_thread():
+        def _on_sigterm(signum, frame):
+            print("SIGTERM received: checkpointing and stopping", flush=True)
+            stop_requested.set()
+
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        handler_installed = True
+
     try:
         for content, style in zip(content_pipe.device_batches(),
                                   style_pipe.device_batches()):
-            if n >= cfg.total_steps:
+            if n >= cfg.total_steps or stop_requested.is_set():
                 break
             state, metrics = step(state, vgg_params, content, style)
             n += 1
@@ -223,12 +250,26 @@ def train_adain(cfg: AdaINTrainConfig) -> str:
                 ckpt.save(n, state)
                 print(f"AdaIN checkpoint saved at step {n}", flush=True)
     finally:
+        # Each cleanup step is isolated (train/loop.py contract): a
+        # device-side failure resurfaces in flush's D2H fetches — and with
+        # donate_argnums=(0,) a failed step leaves `state` on donated
+        # buffers — and neither must mask the original exception or abort
+        # the cleanup steps behind it.
+        def _cleanup(what, fn):
+            try:
+                fn()
+            except Exception as e:
+                print(f"cleanup: {what} failed: {e!r}", flush=True)
+
         if logger.pending:
-            logger.flush(n)
-        if n > 0 and ckpt.latest_step() != n:
-            ckpt.save(n, state)
-        ckpt.close()
-        logger.close()
+            _cleanup("metrics flush", lambda: logger.flush(n))
+        if n > start and ckpt.latest_step() != n:
+            _cleanup("final checkpoint", lambda: ckpt.save(n, state))
+        _cleanup("checkpoint wait", ckpt.wait)
+        _cleanup("logger close", logger.close)
+        _cleanup("checkpoint close", ckpt.close)
+        if handler_installed:
+            signal.signal(signal.SIGTERM, prev_handler or signal.SIG_DFL)
 
     wall = time.perf_counter() - t0
     if n:

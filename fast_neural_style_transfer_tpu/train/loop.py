@@ -236,9 +236,19 @@ def train_style_transfer(cfg: TrainConfig) -> str:
     ckpt = CheckpointManager(
         os.path.join(cfg.output_dir, "checkpoints"), max_to_keep=cfg.max_checkpoints
     )
+    # Resume the LOOP counter from the checkpoint label, not state.step:
+    # non-finite skipped iterations advance the loop (and the label) but
+    # not state.step, and Orbax refuses to re-save an existing label — a
+    # resume at state.step would re-reach and re-save it.
+    resume_label = None
     if cfg.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
-        print(f"resumed from step {int(state.step)}", flush=True)
+        resume_label = ckpt.latest_step()
+        print(
+            f"resumed from checkpoint {resume_label} "
+            f"(optimizer step {int(state.step)})",
+            flush=True,
+        )
 
     weight_schedule = LossWeightSchedule(
         content=cfg.content_weight,
@@ -298,7 +308,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         os.path.join(cfg.output_dir, "metrics.jsonl"), print_every=cfg.log_every
     )
     rng = jax.random.PRNGKey(cfg.seed + 1)
-    start_step = int(state.step)
+    start_step = int(state.step) if resume_label is None else resume_label
     t_start = time.perf_counter()
 
     # Preemption handling (SURVEY.md §5.3): TPU VMs get SIGTERM before

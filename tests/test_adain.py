@@ -293,3 +293,56 @@ class TestEndToEnd:
 
         params = load_decoder(os.path.join(out_dir, "checkpoints"))
         assert params["convs"][0]["w"].shape == (3, 3, 512, 256)
+
+    def test_sigterm_checkpoints_and_exits_cleanly(self, workspace):
+        """Same preemption contract as the main trainer (train/loop.py):
+        SIGTERM mid-run stops the loop, persists a checkpoint, exits 0."""
+        import signal
+        import subprocess
+        import sys
+        import time as _time
+
+        out_dir = workspace / "sig_out"
+        code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from fast_neural_style_transfer_tpu.train.adain import AdaINTrainConfig, train_adain
+cfg = AdaINTrainConfig(
+    content_dir=r"{workspace / 'content'}",
+    style_dir=r"{workspace / 'styles'}",
+    output_dir=r"{out_dir}",
+    total_steps=10_000, batch_size=8, image_size=(32, 32),
+    log_every=1, checkpoint_every=10_000, num_workers=2, resume=False,
+)
+train_adain(cfg)
+"""
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env={**os.environ,
+                 "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        )
+        metrics = out_dir / "metrics.jsonl"
+        deadline = _time.time() + 240
+        try:
+            while _time.time() < deadline:
+                if metrics.exists() and metrics.read_text().strip():
+                    break
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        "training exited early: "
+                        f"{proc.stdout.read().decode()[-2000:]}"
+                    )
+                _time.sleep(1)
+            else:
+                raise AssertionError("no training step within 240s")
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=180)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert proc.returncode == 0, out.decode()[-2000:]
+        assert b"SIGTERM received" in out
+        assert (out_dir / "checkpoints").exists()
+        # the final decoder artifact is still written after a SIGTERM stop
+        assert (out_dir / "adain_decoder_final.npz").exists()

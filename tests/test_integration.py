@@ -78,6 +78,65 @@ def test_tiny_training_run_end_to_end(workspace):
     assert records[-1]["step"] == 6
 
 
+def test_resume_uses_checkpoint_label_not_state_step(workspace):
+    """Non-finite skipped iterations advance the loop counter (and hence the
+    checkpoint label) but not state.step. A resume that restarted the loop at
+    state.step would re-reach an already-saved label and crash in Orbax
+    (StepAlreadyExistsError). Simulate the divergence directly: save a
+    checkpoint whose label exceeds its state.step, then resume past it."""
+    import jax.numpy as jnp
+
+    from fast_neural_style_transfer_tpu.train.checkpoint import CheckpointManager
+    from fast_neural_style_transfer_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+    from fast_neural_style_transfer_tpu.models.transformer import TransformerNet
+    import jax
+
+    out_dir = str(workspace / "skip_out")
+    cfg = TrainConfig(
+        style_image=str(workspace / "style.jpg"),
+        dataset_dir=str(workspace / "data"),
+        output_dir=out_dir,
+        total_steps=2,
+        batch_size=8,
+        image_size=(32, 32),
+        log_every=1,
+        monitor_every=1000,
+        checkpoint_every=2,
+        num_workers=2,
+        resume=False,
+    )
+    with pytest.warns(UserWarning, match="VGG19"):
+        train_style_transfer(cfg)
+
+    # Forge the divergence: label 4, but state.step = 3 (one skipped step).
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=3)
+    template = create_train_state(
+        TransformerNet.init(jax.random.PRNGKey(0)),
+        make_optimizer(total_steps=6),
+    )
+    state = mgr.restore(template)
+    assert mgr.latest_step() == 2
+    mgr.save(4, state._replace(step=jnp.asarray(3, state.step.dtype)))
+    mgr.wait()
+    mgr.close()
+
+    # Resume to 6: the loop must restart at label 4 (not state.step 3) and
+    # save label 6 — restarting at 3 would re-save label 4 and crash.
+    cfg.resume = True
+    cfg.total_steps = 6
+    with pytest.warns(UserWarning, match="VGG19"):
+        train_style_transfer(cfg)
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=3)
+    assert mgr.latest_step() == 6
+    mgr.close()
+    records = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert records[-1]["step"] == 6
+
+
 def test_num_epochs_bounds_training(workspace):
     """--num_epochs is wired (VERDICT r1 #10): an epochs-bounded run stops at
     epochs * steps_per_epoch even when total_steps is larger."""
