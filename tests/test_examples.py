@@ -35,3 +35,11 @@ def test_serving_example(tmp_path):
     assert "data-parallel over 8 devices: identical output" in out
     assert "spatial (H over 4 shards)" in out
     assert os.path.exists(tmp_path / "single.jpg")
+
+
+def test_adain_example(tmp_path):
+    out = _run("adain.py", str(tmp_path))
+    assert "loss" in out.lower()
+    for name in ("arbitrary.jpg", "alpha0.0.jpg", "alpha1.0.jpg",
+                 "interpolated.jpg", "adain_decoder.npz"):
+        assert os.path.exists(tmp_path / name)
