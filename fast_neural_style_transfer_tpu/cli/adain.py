@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"))
     s.add_argument("--vgg_weights", default=None)
     s.add_argument("--precision", default="f32", choices=["f32", "bf16"])
+    s.add_argument("--spatial", type=int, default=1,
+                   help="Shard content height over N chips (halo-exchange "
+                        "encode/decode, psum'd AdaIN stats; for very large "
+                        "images)")
 
     e = sub.add_parser("export", help="export the full pipeline to ONNX")
     e.add_argument("--decoder", required=True)
@@ -150,14 +154,27 @@ def main(argv=None) -> None:
     decoder = load_decoder(args.decoder)
     size = tuple(args.size) if args.size else None
     content = jnp.asarray(load_image(args.content_image, size))
-    # content H, W must divide 8 (VGG pools + decoder ups); reflect-pad up
-    # and crop back. Style images only contribute channel statistics, but
-    # VGG's pools still need their dims to divide 8.
-    content, (h, w) = pad_to_multiple_reflect(content, 8)
     styles = [
         pad_to_multiple_reflect(jnp.asarray(load_image(p, None)), 8)[0]
         for p in args.style_image
     ]
+    if args.spatial > 1:
+        from fast_neural_style_transfer_tpu.infer.spatial_adain import (
+            stylize_arbitrary_spatial,
+        )
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        plan = make_mesh_plan(spatial=args.spatial)
+        out = stylize_arbitrary_spatial(
+            decoder, vgg_params, content, styles, plan, alpha=args.alpha,
+            style_weights=args.style_blend, precision=prec)
+        save_image(np.asarray(out), args.output)
+        print(f"saved {args.output}")
+        return
+    # content H, W must divide 8 (VGG pools + decoder ups); reflect-pad up
+    # and crop back. Style images only contribute channel statistics, but
+    # VGG's pools still need their dims to divide 8.
+    content, (h, w) = pad_to_multiple_reflect(content, 8)
     out = stylize_arbitrary(decoder, vgg_params, content, styles,
                             alpha=args.alpha, style_weights=args.style_blend,
                             precision=prec)

@@ -7,6 +7,10 @@ from fast_neural_style_transfer_tpu.infer.spatial import (
     make_spatial_forward,
     stylize_spatial,
 )
+from fast_neural_style_transfer_tpu.infer.spatial_adain import (
+    make_spatial_adain_forward,
+    stylize_arbitrary_spatial,
+)
 
 __all__ = [
     "Stylizer",
@@ -14,4 +18,6 @@ __all__ = [
     "stylize_image_file",
     "make_spatial_forward",
     "stylize_spatial",
+    "make_spatial_adain_forward",
+    "stylize_arbitrary_spatial",
 ]

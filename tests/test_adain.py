@@ -294,6 +294,28 @@ class TestEndToEnd:
         params = load_decoder(os.path.join(out_dir, "checkpoints"))
         assert params["convs"][0]["w"].shape == (3, 3, 512, 256)
 
+    def test_cli_spatial_stylize(self, workspace):
+        """--spatial N routes through the H-sharded forward and writes an
+        image of the original size (pad/crop handled inside)."""
+        from fast_neural_style_transfer_tpu.cli.adain import main as adain_main
+        from fast_neural_style_transfer_tpu.models.adain import AdaINDecoder
+        from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+        dec = str(workspace / "dec.npz")
+        save_params_npz(AdaINDecoder.init(jax.random.PRNGKey(0)), dec)
+        out_img = str(workspace / "spatial.jpg")
+        with pytest.warns(UserWarning, match="VGG19"):
+            adain_main([
+                "stylize",
+                "--decoder", dec,
+                "--content_image", str(workspace / "content" / "content_1.jpg"),
+                "--style_image", str(workspace / "new_style.jpg"),
+                "--output", out_img,
+                "--spatial", "4",
+            ])
+        with Image.open(out_img) as im:
+            assert im.size == (40, 40)
+
     def test_sigterm_checkpoints_and_exits_cleanly(self, workspace):
         """Same preemption contract as the main trainer (train/loop.py):
         SIGTERM mid-run stops the loop, persists a checkpoint, exits 0."""
@@ -346,3 +368,76 @@ train_adain(cfg)
         assert (out_dir / "checkpoints").exists()
         # the final decoder artifact is still written after a SIGTERM stop
         assert (out_dir / "adain_decoder_final.npz").exists()
+
+
+class TestSpatialAdaIN:
+    """H-sharded arbitrary-style inference (infer/spatial_adain.py) must
+    match the single-device math: the AdaIN moments are global psums, the
+    decoder convs halo-exchange, upsampling is a local row repeat."""
+
+    def _setup(self, seed=0):
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        rng = np.random.default_rng(seed)
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = jnp.asarray(rng.normal(size=(1, 64, 48, 3)), jnp.float32)
+        style = jnp.asarray(rng.normal(size=(1, 40, 40, 3)), jnp.float32)
+        return vgg, dec, content, style
+
+    def test_matches_unsharded(self):
+        from fast_neural_style_transfer_tpu.infer.spatial_adain import (
+            stylize_arbitrary_spatial,
+        )
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        vgg, dec, content, style = self._setup()
+        plan = make_mesh_plan(spatial=4)
+        ref = stylize_arbitrary(dec, vgg, content, style, alpha=0.8)
+        got = stylize_arbitrary_spatial(dec, vgg, content, style, plan,
+                                        alpha=0.8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_interpolation_matches_unsharded(self):
+        from fast_neural_style_transfer_tpu.infer.spatial_adain import (
+            stylize_arbitrary_spatial,
+        )
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        vgg, dec, content, style = self._setup(1)
+        rng = np.random.default_rng(9)
+        style2 = jnp.asarray(rng.normal(size=(1, 24, 56, 3)), jnp.float32)
+        plan = make_mesh_plan(spatial=4)
+        ref = stylize_arbitrary(dec, vgg, content, [style, style2],
+                                style_weights=[0.3, 0.7])
+        got = stylize_arbitrary_spatial(dec, vgg, content, [style, style2],
+                                        plan, style_weights=[0.3, 0.7])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_pads_and_crops_odd_sizes(self):
+        from fast_neural_style_transfer_tpu.infer.spatial_adain import (
+            stylize_arbitrary_spatial,
+        )
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        vgg, dec, _, style = self._setup(2)
+        rng = np.random.default_rng(3)
+        content = jnp.asarray(rng.normal(size=(1, 70, 50, 3)), jnp.float32)
+        plan = make_mesh_plan(spatial=4)
+        out = stylize_arbitrary_spatial(dec, vgg, content, style, plan)
+        assert out.shape == content.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_bad_weights_rejected(self):
+        from fast_neural_style_transfer_tpu.infer.spatial_adain import (
+            stylize_arbitrary_spatial,
+        )
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        vgg, dec, content, style = self._setup(4)
+        plan = make_mesh_plan(spatial=4)
+        with pytest.raises(ValueError, match="convex"):
+            stylize_arbitrary_spatial(dec, vgg, content, [style, style],
+                                      plan, style_weights=[0.9, 0.4])
