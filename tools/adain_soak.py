@@ -77,7 +77,12 @@ def make_datasets() -> None:
 def run_phase(outdir: str, kill_at_step=None) -> None:
     rc = _run_config(outdir)
     code = (
-        "import sys; sys.path.insert(0, '/root/repo');"
+        "import os, sys; sys.path.insert(0, '/root/repo');"
+        # axon's sitecustomize force-overrides the JAX_PLATFORMS env var;
+        # honor an explicit cpu request via the config, which does stick
+        "import jax;"
+        "os.environ.get('JAX_PLATFORMS', '').startswith('cpu') and "
+        "jax.config.update('jax_platforms', 'cpu');"
         "from fast_neural_style_transfer_tpu.train.adain import "
         "AdaINTrainConfig, train_adain;"
         f"train_adain(AdaINTrainConfig("
