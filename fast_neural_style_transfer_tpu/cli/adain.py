@@ -41,14 +41,23 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("stylize", help="stylize with an arbitrary style image")
     s.add_argument("--decoder", required=True,
                    help="trained decoder: .npz or Orbax checkpoint dir")
-    s.add_argument("--content_image", required=True)
+    s.add_argument("--content_image", default=None)
+    s.add_argument("--content_dir", default=None,
+                   help="Bulk mode: stylize every image under this directory "
+                        "with the given style (software-pipelined batches)")
+    s.add_argument("--batch_size", type=int, default=16,
+                   help="Bulk mode device batch size")
+    s.add_argument("--data_parallel", action="store_true",
+                   help="Bulk mode: shard batches over all chips' data axis")
     s.add_argument("--style_image", required=True, nargs="+",
                    help="style image(s); several interpolate styles "
                         "(weights via --style_blend, default equal)")
     s.add_argument("--style_blend", type=float, nargs="+", default=None,
                    metavar="W",
                    help="convex interpolation weights, one per style image")
-    s.add_argument("--output", default="adain_stylized.jpg")
+    s.add_argument("--output", default="adain_stylized.jpg",
+                   help="Output image path (single) or directory (bulk; "
+                        "default <content_dir>_stylized)")
     s.add_argument("--alpha", type=float, default=1.0,
                    help="style strength in [0, 1] (0 = content reconstruction)")
     s.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"))
@@ -140,6 +149,37 @@ def main(argv=None) -> None:
         return
 
     # stylize
+    if (args.content_image is None) == (args.content_dir is None):
+        raise SystemExit(
+            "pass exactly one of --content_image (single) or "
+            "--content_dir (bulk)")
+    if args.content_dir is not None:
+        if args.spatial > 1:
+            raise SystemExit(
+                "--content_dir and --spatial cannot be combined yet; run "
+                "spatial jobs per image, or use --data_parallel to use all "
+                "chips on directory batches")
+        from fast_neural_style_transfer_tpu.infer.adain import (
+            stylize_directory_arbitrary,
+        )
+
+        written = stylize_directory_arbitrary(
+            args.decoder,
+            args.content_dir,
+            args.output if args.output != "adain_stylized.jpg" else
+            args.content_dir.rstrip("/") + "_stylized",
+            args.style_image,
+            style_weights=args.style_blend,
+            alpha=args.alpha,
+            vgg_weights=args.vgg_weights,
+            size=tuple(args.size) if args.size else None,
+            batch_size=args.batch_size,
+            precision=args.precision,
+            data_parallel=args.data_parallel,
+        )
+        print(f"stylized {len(written)} images")
+        return
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -11,6 +11,10 @@ from fast_neural_style_transfer_tpu.infer.spatial_adain import (
     make_spatial_adain_forward,
     stylize_arbitrary_spatial,
 )
+from fast_neural_style_transfer_tpu.infer.adain import (
+    ArbitraryStylizer,
+    stylize_directory_arbitrary,
+)
 
 __all__ = [
     "Stylizer",
@@ -20,4 +24,6 @@ __all__ = [
     "stylize_spatial",
     "make_spatial_adain_forward",
     "stylize_arbitrary_spatial",
+    "ArbitraryStylizer",
+    "stylize_directory_arbitrary",
 ]

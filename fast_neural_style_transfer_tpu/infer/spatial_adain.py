@@ -28,10 +28,9 @@ from fast_neural_style_transfer_tpu.core.dtypes import Precision
 from fast_neural_style_transfer_tpu.models.adain import (
     ENCODE_TAP,
     _DECODER_CFG,
-    channel_stats,
+    blended_style_stats,
 )
 from fast_neural_style_transfer_tpu.models.spatial import vgg_features_sharded
-from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
 from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan, shard_map_checked
 from fast_neural_style_transfer_tpu.ops import sharded as sh
 
@@ -138,27 +137,9 @@ def stylize_arbitrary_spatial(
     interpolates styles exactly as the single-chip path does.
     """
     n_shards = plan.mesh.shape[AXIS]
-    styles = list(style) if isinstance(style, (list, tuple)) else [style]
-    if style_weights is None:
-        weights = [1.0 / len(styles)] * len(styles)
-    else:
-        weights = [float(w) for w in style_weights]
-        if len(weights) != len(styles):
-            raise ValueError(
-                f"{len(weights)} style_weights for {len(styles)} style images")
-        if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-3:
-            raise ValueError(
-                f"style interpolation weights must be convex (>= 0, sum to "
-                f"1); got {weights} with sum {sum(weights):.4f}")
-
     # style moments, unsharded (styles are small relative to the content)
-    mu_s = sigma_s = 0.0
-    for s_img, w in zip(styles, weights):
-        (s_feat,) = VGG19Features.apply(vgg_params, s_img, (ENCODE_TAP,),
+    mu_s, sigma_s = blended_style_stats(vgg_params, style, style_weights,
                                         precision=precision)
-        mu, sigma = channel_stats(s_feat)
-        mu_s = mu_s + w * mu
-        sigma_s = sigma_s + w * sigma
 
     mult = 8 * n_shards
     n, h, w_, c = content.shape

@@ -294,16 +294,7 @@ def stylize_directory(
     ``x.jpg`` vs ``x.png`` in one folder gets a numeric suffix). Returns
     the written paths.
     """
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
-    from PIL import Image
-
     from fast_neural_style_transfer_tpu.data.dataset import scan_image_files
-    from fast_neural_style_transfer_tpu.utils.image_io import (
-        decode_image,
-        resize_image,
-    )
 
     files = scan_image_files(content_dir)
     sharding = None
@@ -315,6 +306,37 @@ def stylize_directory(
         sharding = plan.batch_sharding
     stylizer = Stylizer.from_checkpoint(model_path, precision=precision,
                                         sharding=sharding, style=style)
+    return pipeline_directory(
+        stylizer.stylize_u8, files, content_dir, output_dir,
+        size=size, batch_size=batch_size, num_workers=num_workers,
+    )
+
+
+def pipeline_directory(
+    fwd_u8,
+    files: list,
+    content_dir: str,
+    output_dir: str,
+    *,
+    size: Optional[Tuple[int, int]] = None,
+    batch_size: int = 16,
+    num_workers: int = 8,
+) -> list:
+    """The bulk-job engine shared by every model family: decode / device-run
+    / JPEG-encode software pipeline over ``files``, with shape-bucket
+    grouping and wrap-padded final chunks. ``fwd_u8`` maps a uint8 NHWC
+    batch to a stylized uint8 batch (e.g. ``Stylizer.stylize_u8`` or the
+    AdaIN ``ArbitraryStylizer.stylize_u8``)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from fast_neural_style_transfer_tpu.utils.image_io import (
+        decode_image,
+        resize_image,
+    )
+
     os.makedirs(output_dir, exist_ok=True)
 
     def dec(path):
@@ -382,7 +404,7 @@ def stylize_directory(
             batch = next_batch.result()
             if n + 1 < len(all_chunks):
                 next_batch = pool.submit(prep, all_chunks[n + 1])
-            outs = stylizer.stylize_u8(batch)[: len(chunk)]
+            outs = fwd_u8(batch)[: len(chunk)]
             save_futures.extend(
                 pool.submit(save_one, i, out) for i, out in zip(chunk, outs)
             )

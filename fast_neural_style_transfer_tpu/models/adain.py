@@ -47,6 +47,26 @@ _DECODER_CFG: Tuple[Tuple[int, bool], ...] = (
 )
 
 
+def resolve_style_weights(styles, style_weights):
+    """(styles list, validated convex weights) from the public API's
+    one-image-or-list ``style`` argument — shared by the single-device,
+    H-sharded, and serving paths."""
+    styles = list(styles) if isinstance(styles, (list, tuple)) else [styles]
+    if style_weights is None:
+        return styles, [1.0 / len(styles)] * len(styles)
+    weights = [float(w) for w in style_weights]
+    if len(weights) != len(styles):
+        raise ValueError(
+            f"{len(weights)} style_weights for {len(styles)} style images"
+        )
+    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-3:
+        raise ValueError(
+            f"style interpolation weights must be convex (>= 0, sum to "
+            f"1); got {weights} with sum {sum(weights):.4f}"
+        )
+    return styles, weights
+
+
 def channel_stats(x: jnp.ndarray, eps: float = 1e-5):
     """Per-(batch, channel) mean and std over H, W — f32, biased variance
     (matches instance-norm statistics, ops/norm.py). Returns (B,1,1,C)."""
@@ -54,6 +74,29 @@ def channel_stats(x: jnp.ndarray, eps: float = 1e-5):
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
     return mean, jnp.sqrt(var + eps)
+
+
+def blended_style_stats(
+    vgg_params: Any,
+    style,
+    style_weights=None,
+    *,
+    precision: Precision = Precision.f32(),
+):
+    """The interpolation-folded style moments: one (mu, sigma) pair such
+    that ``sigma * c_norm + mu`` equals the convex combination of the
+    per-style AdaIN targets (sum_s w_s (sigma_s c_norm + mu_s) ==
+    (sum_s w_s sigma_s) c_norm + sum_s w_s mu_s). Serving paths cache this
+    pair instead of re-encoding styles per content batch."""
+    styles, weights = resolve_style_weights(style, style_weights)
+    mu_s = sigma_s = 0.0
+    for s_img, w in zip(styles, weights):
+        (s_feat,) = VGG19Features.apply(vgg_params, s_img, (ENCODE_TAP,),
+                                        precision=precision)
+        mu, sigma = channel_stats(s_feat)
+        mu_s = mu_s + w * mu
+        sigma_s = sigma_s + w * sigma
+    return mu_s, sigma_s
 
 
 def adain(content_feat: jnp.ndarray, style_feat: jnp.ndarray) -> jnp.ndarray:
@@ -123,20 +166,7 @@ def stylize_arbitrary(
     content (paper §7.1 runtime control). Content H, W must be multiples
     of 8 (three VGG pools down, three x2 ups back).
     """
-    styles = list(style) if isinstance(style, (list, tuple)) else [style]
-    if style_weights is None:
-        weights = [1.0 / len(styles)] * len(styles)
-    else:
-        weights = [float(w) for w in style_weights]
-        if len(weights) != len(styles):
-            raise ValueError(
-                f"{len(weights)} style_weights for {len(styles)} style images"
-            )
-        if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-3:
-            raise ValueError(
-                f"style interpolation weights must be convex (>= 0, sum to "
-                f"1); got {weights} with sum {sum(weights):.4f}"
-            )
+    styles, weights = resolve_style_weights(style, style_weights)
 
     (c_feat,) = VGG19Features.apply(vgg_params, content, (ENCODE_TAP,),
                                     precision=precision)

@@ -441,3 +441,124 @@ class TestSpatialAdaIN:
         with pytest.raises(ValueError, match="convex"):
             stylize_arbitrary_spatial(dec, vgg, content, [style, style],
                                       plan, style_weights=[0.9, 0.4])
+
+
+class TestArbitraryStylizer:
+    """Cached-style serving path (infer/adain.py): u8 roundtrip equals the
+    reference stylize_arbitrary up to the final *255 rounding, and the bulk
+    directory engine writes one output per input."""
+
+    def _setup(self):
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        return vgg, dec
+
+    def test_u8_roundtrip_matches_float_path(self):
+        from fast_neural_style_transfer_tpu.infer.adain import ArbitraryStylizer
+        from fast_neural_style_transfer_tpu.utils.image_io import (
+            denormalize_image,
+            normalize_image,
+        )
+
+        vgg, dec = self._setup()
+        rng = np.random.default_rng(0)
+        content_u8 = rng.integers(0, 256, (2, 32, 40, 3), dtype=np.uint8)
+        style_u8 = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+
+        styler = ArbitraryStylizer(dec, vgg).set_style_u8(style_u8)
+        got = styler.stylize_u8(content_u8, alpha=0.8)
+
+        c = normalize_image(content_u8.astype(np.float32) / 255.0)
+        s = normalize_image(style_u8[None].astype(np.float32) / 255.0)
+        ref = stylize_arbitrary(dec, vgg, jnp.asarray(c), jnp.asarray(s),
+                                alpha=0.8)
+        ref_u8 = (np.clip(denormalize_image(np.asarray(ref)), 0, 1)
+                  * 255.0 + 0.5).astype(np.uint8)
+        assert got.shape == ref_u8.shape
+        # identical math, different fusion order: allow 1 LSB of rounding
+        assert np.abs(got.astype(int) - ref_u8.astype(int)).max() <= 1
+
+    def test_requires_style(self):
+        from fast_neural_style_transfer_tpu.infer.adain import ArbitraryStylizer
+
+        vgg, dec = self._setup()
+        with pytest.raises(ValueError, match="no style set"):
+            ArbitraryStylizer(dec, vgg).stylize_u8(
+                np.zeros((1, 16, 16, 3), np.uint8))
+
+    def test_alpha_is_an_operand(self):
+        """Different alphas reuse one compiled program (traced operand)."""
+        from fast_neural_style_transfer_tpu.infer.adain import ArbitraryStylizer
+
+        vgg, dec = self._setup()
+        rng = np.random.default_rng(1)
+        styler = ArbitraryStylizer(dec, vgg).set_style_u8(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+        x = rng.integers(0, 256, (1, 16, 16, 3), dtype=np.uint8)
+        a = styler.stylize_u8(x, alpha=1.0)
+        b = styler.stylize_u8(x, alpha=0.0)
+        assert not np.array_equal(a, b)  # alpha actually does something
+        assert styler._fwd_u8._cache_size() == 1
+
+    def test_directory_bulk(self, tmp_path):
+        from fast_neural_style_transfer_tpu.infer.adain import (
+            stylize_directory_arbitrary,
+        )
+        from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+        vgg, dec = self._setup()
+        rng = np.random.default_rng(2)
+        content = tmp_path / "content"
+        (content / "sub").mkdir(parents=True)
+        for i in range(5):
+            Image.fromarray(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                            ).save(content / f"c{i}.jpg")
+        Image.fromarray(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                        ).save(content / "sub" / "c0.jpg")
+        style = tmp_path / "style.jpg"
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                        ).save(style)
+        dec_path = str(tmp_path / "dec.npz")
+        save_params_npz(dec, dec_path)
+
+        with pytest.warns(UserWarning, match="VGG19"):
+            written = stylize_directory_arbitrary(
+                dec_path, str(content), str(tmp_path / "out"), str(style),
+                batch_size=4)
+        assert len(written) == 6 and all(os.path.exists(p) for p in written)
+        assert any("sub" in p for p in written)  # subdirs mirrored
+
+    def test_cli_bulk_route(self, tmp_path):
+        from fast_neural_style_transfer_tpu.cli.adain import main as adain_main
+        from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+        vgg, dec = self._setup()
+        rng = np.random.default_rng(3)
+        content = tmp_path / "content"
+        content.mkdir()
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                            ).save(content / f"c{i}.jpg")
+        style = tmp_path / "style.jpg"
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                        ).save(style)
+        dec_path = str(tmp_path / "dec.npz")
+        save_params_npz(dec, dec_path)
+
+        with pytest.warns(UserWarning, match="VGG19"):
+            adain_main([
+                "stylize", "--decoder", dec_path,
+                "--content_dir", str(content),
+                "--style_image", str(style),
+                "--output", str(tmp_path / "out"),
+                "--batch_size", "2",
+            ])
+        outs = os.listdir(tmp_path / "out")
+        assert len(outs) == 3
+
+        # exactly one of --content_image/--content_dir
+        with pytest.raises(SystemExit, match="exactly one"):
+            adain_main(["stylize", "--decoder", dec_path,
+                        "--style_image", str(style)])
