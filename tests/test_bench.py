@@ -36,3 +36,8 @@ def test_bench_e2e_smoke(tmp_path):
 def test_bench_adain_smoke():
     ms = bench.bench_adain_ms(hw=32, chain=2, samples=1)
     assert np.isfinite(ms) and ms > 0
+
+
+def test_bench_adain_serving_smoke():
+    ms = bench.bench_adain_serving_ms(hw=32, chain=2, samples=1)
+    assert ms > 0
