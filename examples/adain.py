@@ -50,9 +50,10 @@ def main(out_dir: str = "adain_out") -> None:
         print(f"step {int(state.step)}: loss {float(metrics['loss']):.4g}")
 
     # 2. stylize with a NEVER-SEEN style image (that is the whole point);
-    #    inputs are network-space (ImageNet-normalized) NHWC
-    c_img = normalize_image(rng.random((1, 96, 96, 3)).astype(np.float32))
-    s_new = normalize_image(rng.random((1, 80, 80, 3)).astype(np.float32))
+    #    normalize_image takes uint8-scale pixels and returns network-space
+    #    (ImageNet-normalized) NHWC
+    c_img = normalize_image(rng.integers(0, 256, (1, 96, 96, 3)).astype(np.uint8))
+    s_new = normalize_image(rng.integers(0, 256, (1, 80, 80, 3)).astype(np.uint8))
     out = stylize_arbitrary(state.params, vgg, c_img, s_new)
     save_image(np.asarray(out), os.path.join(out_dir, "arbitrary.jpg"))
 
@@ -62,7 +63,7 @@ def main(out_dir: str = "adain_out") -> None:
         save_image(np.asarray(out), os.path.join(out_dir, f"alpha{alpha:.1f}.jpg"))
 
     # 4. interpolate two styles with convex weights (paper eq. 15)
-    s_other = normalize_image(rng.random((1, 64, 64, 3)).astype(np.float32))
+    s_other = normalize_image(rng.integers(0, 256, (1, 64, 64, 3)).astype(np.uint8))
     out = stylize_arbitrary(state.params, vgg, c_img, [s_new, s_other],
                             style_weights=[0.7, 0.3])
     save_image(np.asarray(out), os.path.join(out_dir, "interpolated.jpg"))

@@ -55,9 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--style_blend", type=float, nargs="+", default=None,
                    metavar="W",
                    help="convex interpolation weights, one per style image")
-    s.add_argument("--output", default="adain_stylized.jpg",
-                   help="Output image path (single) or directory (bulk; "
-                        "default <content_dir>_stylized)")
+    s.add_argument("--output", default=None,
+                   help="Output image path (single; default "
+                        "adain_stylized.jpg) or directory (bulk; default "
+                        "<content_dir>_stylized)")
     s.add_argument("--alpha", type=float, default=1.0,
                    help="style strength in [0, 1] (0 = content reconstruction)")
     s.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"))
@@ -166,8 +167,7 @@ def main(argv=None) -> None:
         written = stylize_directory_arbitrary(
             args.decoder,
             args.content_dir,
-            args.output if args.output != "adain_stylized.jpg" else
-            args.content_dir.rstrip("/") + "_stylized",
+            args.output or args.content_dir.rstrip("/") + "_stylized",
             args.style_image,
             style_weights=args.style_blend,
             alpha=args.alpha,
@@ -179,6 +179,8 @@ def main(argv=None) -> None:
         )
         print(f"stylized {len(written)} images")
         return
+
+    out_path = args.output or "adain_stylized.jpg"
 
     import jax.numpy as jnp
     import numpy as np
@@ -208,8 +210,8 @@ def main(argv=None) -> None:
         out = stylize_arbitrary_spatial(
             decoder, vgg_params, content, styles, plan, alpha=args.alpha,
             style_weights=args.style_blend, precision=prec)
-        save_image(np.asarray(out), args.output)
-        print(f"saved {args.output}")
+        save_image(np.asarray(out), out_path)
+        print(f"saved {out_path}")
         return
     # content H, W must divide 8 (VGG pools + decoder ups); reflect-pad up
     # and crop back. Style images only contribute channel statistics, but
@@ -218,8 +220,8 @@ def main(argv=None) -> None:
     out = stylize_arbitrary(decoder, vgg_params, content, styles,
                             alpha=args.alpha, style_weights=args.style_blend,
                             precision=prec)
-    save_image(np.asarray(out)[:, :h, :w, :], args.output)
-    print(f"saved {args.output}")
+    save_image(np.asarray(out)[:, :h, :w, :], out_path)
+    print(f"saved {out_path}")
 
 
 if __name__ == "__main__":

@@ -48,7 +48,17 @@ class ArbitraryStylizer:
         *,
         precision: str = "f32",
         sharding: Optional[Any] = None,
+        bucket_multiple: int = 64,
     ):
+        # bucket_multiple trades pad distortion against recompiles: content
+        # is reflect-padded up to the (H, W) bucket before the forward, and
+        # the padded rows DO enter the global AdaIN moments (cropped away
+        # afterwards) — 8 is the geometric minimum (VGG pools + decoder
+        # ups) and distorts least, but a bulk job over a real photo folder
+        # then compiles one program per distinct source shape. 64 matches
+        # Stylizer (whose instance-norm stats are equally global) and keeps
+        # heterogeneous directories to a handful of programs.
+        self.bucket_multiple = bucket_multiple
         self.precision: Precision = canonical_compute_dtype(precision)
         self.decoder_params = decoder_params
         self.vgg_params = vgg_params
@@ -83,20 +93,19 @@ class ArbitraryStylizer:
             if a.ndim == 3:
                 a = a[None]
             # VGG's three pools need dims divisible by 8; only the channel
-            # statistics matter, so reflect-pad (never crop content away)
-            f = normalize_image(a.astype(np.float32) / 255.0)
-            net.append(pad_to_multiple_reflect(jnp.asarray(f), 8)[0])
+            # statistics matter, so reflect-pad (never crop content away).
+            # normalize_image takes uint8-scale input (it divides by 255).
+            net.append(pad_to_multiple_reflect(
+                jnp.asarray(normalize_image(a)), 8)[0])
         return self.set_style(net, style_weights)
 
     def _u8_roundtrip(self, dec, vgg, x_u8, mu_s, sigma_s, alpha):
         from fast_neural_style_transfer_tpu.utils.image_io import (
-            IMAGENET_MEAN,
-            IMAGENET_STD,
+            network_to_u8_jnp,
+            u8_to_network_jnp,
         )
 
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD, jnp.float32)
-        x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+        x = u8_to_network_jnp(x_u8)
         (c_feat,) = VGG19Features.apply(vgg, x, (ENCODE_TAP,),
                                         precision=self.precision)
         mu_c, sigma_c = channel_stats(c_feat)
@@ -105,29 +114,25 @@ class ArbitraryStylizer:
         t = alpha * t + (1.0 - alpha) * cf
         y = AdaINDecoder.apply(dec, t.astype(c_feat.dtype),
                                precision=self.precision)
-        y = jnp.clip(y * std + mean, 0.0, 1.0)
-        return (y * 255.0 + 0.5).astype(jnp.uint8)
+        return network_to_u8_jnp(y)
 
     def _place(self, padded: jnp.ndarray) -> jnp.ndarray:
-        if self.sharding is None:
-            return padded
-        n_shards = dict(self.sharding.mesh.shape).get(
-            "data", self.sharding.mesh.size)
-        if padded.shape[0] % max(n_shards, 1):
-            return padded
-        return jax.device_put(padded, self.sharding)
+        from fast_neural_style_transfer_tpu.parallel.mesh import place_on_data_axis
+
+        return place_on_data_axis(self.sharding, padded)
 
     def stylize_u8(self, image_u8: np.ndarray, *, alpha: float = 1.0) -> np.ndarray:
         """Raw uint8 (H,W,3)/(N,H,W,3) content in -> stylized uint8 out,
-        using the cached style. Pads H, W to multiples of 8 (VGG pools +
-        decoder ups) and crops back."""
+        using the cached style. Pads H, W up to the ``bucket_multiple``
+        shape bucket (reflect) and crops back; padded rows enter the global
+        AdaIN moments — see the constructor note on the tradeoff."""
         if self._style is None:
             raise ValueError("no style set: call set_style(_u8) first")
         squeeze = image_u8.ndim == 3
         x = jnp.asarray(image_u8[None] if squeeze else image_u8)
         if x.dtype != jnp.uint8:
             raise TypeError(f"stylize_u8 wants uint8, got {x.dtype}")
-        padded, (h, w) = pad_to_multiple_reflect(x, 8)
+        padded, (h, w) = pad_to_multiple_reflect(x, self.bucket_multiple)
         mu_s, sigma_s = self._style
         out = np.asarray(self._fwd_u8(
             self.decoder_params, self.vgg_params, self._place(padded),

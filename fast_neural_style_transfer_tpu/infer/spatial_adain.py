@@ -135,6 +135,15 @@ def stylize_arbitrary_spatial(
     8 * n_shards and at least 16 rows per shard, W to a multiple of 8, and
     crops the output back. Style image(s) are encoded unsharded; a list
     interpolates styles exactly as the single-chip path does.
+
+    Exactness caveat: output is bit-comparable to the single-device path
+    only when H already satisfies the shard constraint. Otherwise this path
+    pads MORE rows than the single-device route (multiple of 8*n_shards vs
+    of 8), and because the AdaIN moments are global, the extra reflected
+    rows shift mu_c/sigma_c slightly — same class of pad influence as the
+    single-device route's own 8-multiple pad, just a larger extent. Shard
+    counts should stay small relative to H/16 for large images (the
+    intended use), where the effect vanishes.
     """
     n_shards = plan.mesh.shape[AXIS]
     # style moments, unsharded (styles are small relative to the content)

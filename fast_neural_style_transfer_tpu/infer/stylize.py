@@ -77,13 +77,9 @@ class Stylizer:
 
     def _place(self, padded: jnp.ndarray) -> jnp.ndarray:
         """Shard a batch over the mesh's data axis when it divides."""
-        if self.sharding is None:
-            return padded
-        n_shards = dict(self.sharding.mesh.shape).get(
-            "data", self.sharding.mesh.size)
-        if padded.shape[0] % max(n_shards, 1):
-            return padded
-        return jax.device_put(padded, self.sharding)
+        from fast_neural_style_transfer_tpu.parallel.mesh import place_on_data_axis
+
+        return place_on_data_axis(self.sharding, padded)
 
     def _u8_roundtrip(self, p, x_u8):
         """uint8 in -> uint8 out, entirely on device: /255 + ImageNet
@@ -91,16 +87,11 @@ class Stylizer:
         tunnel) directions at 1/4 the f32 bytes; the affines fuse into the
         first/last convs."""
         from fast_neural_style_transfer_tpu.utils.image_io import (
-            IMAGENET_MEAN,
-            IMAGENET_STD,
+            network_to_u8_jnp,
+            u8_to_network_jnp,
         )
 
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD, jnp.float32)
-        x = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
-        y = self._apply(p, x)
-        y = jnp.clip(y * std + mean, 0.0, 1.0)
-        return (y * 255.0 + 0.5).astype(jnp.uint8)
+        return network_to_u8_jnp(self._apply(p, u8_to_network_jnp(x_u8)))
 
     # -- constructors -------------------------------------------------------
 

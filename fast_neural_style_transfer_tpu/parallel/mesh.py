@@ -38,6 +38,21 @@ def shard_map_checked(fn, mesh, in_specs, out_specs, *, check: bool = True):
         return _shard_map(fn, check_rep=check, **kwargs)
 
 
+def place_on_data_axis(sharding, batch):
+    """Shard ``batch`` over the mesh's 'data' axis when its leading dim
+    divides; otherwise leave it for the default device (single images and
+    ragged final chunks must not crash a data-parallel server). Shared by
+    every serving path so the divisibility rule can never diverge."""
+    if sharding is None:
+        return batch
+    n_shards = dict(sharding.mesh.shape).get("data", sharding.mesh.size)
+    if batch.shape[0] % max(n_shards, 1):
+        return batch
+    import jax
+
+    return jax.device_put(batch, sharding)
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshPlan:
     """A mesh plus the canonical shardings the framework uses on it."""

@@ -52,6 +52,28 @@ def normalize_image(img_u8: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def u8_to_network_jnp(x_u8):
+    """On-device uint8 -> network space (/255 + ImageNet normalize); the
+    H2D leg of the uint8 transport path (both jitted roundtrips use this so
+    the convention can never diverge between model families)."""
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+
+
+def network_to_u8_jnp(y):
+    """On-device network space -> uint8 (de-normalize, clip, round); the
+    D2H leg of the uint8 transport path."""
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    y = jnp.clip(y * std + mean, 0.0, 1.0)
+    return (y * 255.0 + 0.5).astype(jnp.uint8)
+
+
 def denormalize_image(x: np.ndarray) -> np.ndarray:
     """Network space -> float32 [0,1] (de-normalize + clamp, matching
     train.py:254-257 / inference.py:52-57)."""

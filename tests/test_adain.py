@@ -455,6 +455,32 @@ class TestArbitraryStylizer:
         dec = AdaINDecoder.init(jax.random.PRNGKey(1))
         return vgg, dec
 
+    def test_set_style_u8_matches_blended_style_stats(self):
+        """The cached (mu, sigma) pair must equal blended_style_stats of the
+        canonically-normalized style image — pins the u8 -> network-space
+        conversion itself (a double-/255 here once shipped: normalize_image
+        already divides by 255)."""
+        from fast_neural_style_transfer_tpu.infer.adain import ArbitraryStylizer
+        from fast_neural_style_transfer_tpu.models.adain import blended_style_stats
+        from fast_neural_style_transfer_tpu.utils.image_io import normalize_image
+
+        vgg, dec = self._setup()
+        rng = np.random.default_rng(5)
+        style_u8 = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        styler = ArbitraryStylizer(dec, vgg).set_style_u8(style_u8)
+        mu, sigma = styler._style
+        ref_mu, ref_sigma = blended_style_stats(
+            vgg, jnp.asarray(normalize_image(style_u8[None])), None)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(ref_mu),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sigma), np.asarray(ref_sigma),
+                                   rtol=1e-5, atol=1e-5)
+        # and the stats must be far from what a double-/255 (near-black
+        # style) would produce — guards the guard
+        dark_mu, _ = blended_style_stats(
+            vgg, jnp.asarray(normalize_image((style_u8[None] / 255.0))), None)
+        assert float(jnp.abs(mu - dark_mu).max()) > 1e-3
+
     def test_u8_roundtrip_matches_float_path(self):
         from fast_neural_style_transfer_tpu.infer.adain import ArbitraryStylizer
         from fast_neural_style_transfer_tpu.utils.image_io import (
@@ -467,11 +493,14 @@ class TestArbitraryStylizer:
         content_u8 = rng.integers(0, 256, (2, 32, 40, 3), dtype=np.uint8)
         style_u8 = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
 
-        styler = ArbitraryStylizer(dec, vgg).set_style_u8(style_u8)
+        # bucket 8 = the float path's pad extent, so the global AdaIN
+        # moments see identical pixels and the comparison is exact
+        styler = ArbitraryStylizer(dec, vgg, bucket_multiple=8)
+        styler.set_style_u8(style_u8)
         got = styler.stylize_u8(content_u8, alpha=0.8)
 
-        c = normalize_image(content_u8.astype(np.float32) / 255.0)
-        s = normalize_image(style_u8[None].astype(np.float32) / 255.0)
+        c = normalize_image(content_u8)
+        s = normalize_image(style_u8[None])
         ref = stylize_arbitrary(dec, vgg, jnp.asarray(c), jnp.asarray(s),
                                 alpha=0.8)
         ref_u8 = (np.clip(denormalize_image(np.asarray(ref)), 0, 1)
