@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("H", "W"))
     e.add_argument("--style_shape", type=int, nargs=2, default=(256, 256),
                    metavar=("H", "W"))
+    e.add_argument("--style_image", nargs="+", default=None,
+                   help="Bake these style image(s)' moments into the graph: "
+                        "single-input artifact, no style branch (blend "
+                        "weights via --style_blend)")
+    e.add_argument("--style_blend", type=float, nargs="+", default=None,
+                   metavar="W")
     return p
 
 
@@ -138,15 +144,36 @@ def main(argv=None) -> None:
         from fast_neural_style_transfer_tpu.export.onnx_adain import export_adain_onnx
         from fast_neural_style_transfer_tpu.models.vgg_weights import resolve_params
 
+        vgg_params = resolve_params(args.vgg_weights)
+        baked = None
+        if args.style_image:
+            import jax.numpy as jnp
+
+            from fast_neural_style_transfer_tpu.core.shapes import (
+                pad_to_multiple_reflect,
+            )
+            from fast_neural_style_transfer_tpu.models.adain import (
+                blended_style_stats,
+            )
+            from fast_neural_style_transfer_tpu.utils import load_image
+
+            styles = [
+                pad_to_multiple_reflect(jnp.asarray(load_image(p, None)), 8)[0]
+                for p in args.style_image
+            ]
+            baked = blended_style_stats(vgg_params, styles, args.style_blend)
+
         export_adain_onnx(
             load_decoder(args.decoder),
-            resolve_params(args.vgg_weights),
+            vgg_params,
             args.onnx,
             alpha=args.alpha,
             content_shape=(1, 3, *args.content_shape),
             style_shape=(1, 3, *args.style_shape),
+            baked_style=baked,
         )
-        print(f"wrote {args.onnx}")
+        print(f"wrote {args.onnx}"
+              + (" (baked style, single input)" if baked is not None else ""))
         return
 
     # stylize

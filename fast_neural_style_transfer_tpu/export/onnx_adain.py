@@ -6,7 +6,10 @@ decoder — as one graph with two inputs (``content_image``, ``style_image``,
 NCHW, ImageNet-normalized like every model in this framework) and one
 output (``output_image``). The style image is an ONNX runtime input, so the
 exported artifact keeps the family's defining property: any style, no
-re-export. ``alpha`` (style strength) is baked at export time.
+re-export. ``alpha`` (style strength) is baked at export time. Passing
+``baked_style`` instead freezes one style's (mu, sigma) moments into the
+graph and drops the style input + its VGG branch entirely — a smaller,
+faster single-purpose artifact for deployments that serve one style.
 
 Ops (all opset-11 standard): Pad, Conv, MaxPool, Relu, Resize(nearest),
 ReduceMean, Sub, Mul, Div, Sqrt, Add. The sibling mini-runtime
@@ -138,13 +141,24 @@ def build_adain_onnx(
     alpha: float = 1.0,
     content_shape: Sequence[Union[int, str]] = (1, 3, 256, 256),
     style_shape: Sequence[Union[int, str]] = (1, 3, 256, 256),
+    baked_style=None,
     opset_version: int = 11,
 ) -> bytes:
     """Serialize the arbitrary-style pipeline to ONNX ModelProto bytes.
 
     Static H/W must be multiples of 8 (VGG pools + decoder ups); symbolic
-    (string) dims defer that to the runtime."""
-    for shape, what in ((content_shape, "content"), (style_shape, "style")):
+    (string) dims defer that to the runtime.
+
+    ``baked_style``: optional (mu, sigma) pair from
+    ``models.adain.blended_style_stats`` (NHWC (1, 1, 1, C)). When given,
+    the style's moments ship as graph constants and the artifact becomes a
+    SINGLE-input (content only) graph — the AdaIN analogue of the
+    multi-style family's ``bake_style``: fix the style at export, drop the
+    per-image style encode. ``style_shape`` is ignored in that case."""
+    shapes = [(content_shape, "content")]
+    if baked_style is None:
+        shapes.append((style_shape, "style"))
+    for shape, what in shapes:
         for d in shape[2:]:
             if isinstance(d, int) and d % 8:
                 raise ValueError(f"{what} dims {shape} must be multiples of 8")
@@ -167,9 +181,17 @@ def build_adain_onnx(
     g = _AdaINBuilder(weights)
 
     c_feat = g.vgg_to_relu4_1(CONTENT_NAME)
-    s_feat = g.vgg_to_relu4_1(STYLE_NAME)
     mu_c, sd_c = g.channel_stats(c_feat)
-    mu_s, sd_s = g.channel_stats(s_feat)
+    if baked_style is not None:
+        mu_arr, sd_arr = (
+            np.transpose(np.asarray(a, np.float32), (0, 3, 1, 2))  # NHWC->NCHW
+            for a in baked_style
+        )
+        mu_s = g.init_tensor("baked_style.mu", mu_arr)
+        sd_s = g.init_tensor("baked_style.sigma", sd_arr)
+    else:
+        s_feat = g.vgg_to_relu4_1(STYLE_NAME)
+        mu_s, sd_s = g.channel_stats(s_feat)
     t = g.binop(
         "Add",
         g.binop("Mul", g.binop("Div", g.binop("Sub", c_feat, mu_c), sd_c),
@@ -197,11 +219,13 @@ def build_adain_onnx(
     for i in (2, 3):
         if isinstance(out_shape[i], str):
             out_shape[i] = f"out_{out_shape[i]}"
+    inputs = [ow.value_info(CONTENT_NAME, content_shape)]
+    if baked_style is None:
+        inputs.append(ow.value_info(STYLE_NAME, style_shape))
     graph_msg = ow.graph(
         g.nodes,
         "adain_style_transfer",
-        inputs=[ow.value_info(CONTENT_NAME, content_shape),
-                ow.value_info(STYLE_NAME, style_shape)],
+        inputs=inputs,
         outputs=[ow.value_info(OUTPUT_NAME, out_shape)],
         initializers=g.initializers,
     )

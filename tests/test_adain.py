@@ -219,6 +219,49 @@ class TestONNXExport:
             rtol=1e-3, atol=1e-4,
         )
 
+    def test_baked_style_export_single_input(self, tmp_path):
+        """baked_style freezes the style moments into the graph: one input,
+        no style VGG branch, same output as the live two-input pipeline."""
+        from fast_neural_style_transfer_tpu.export.onnx_adain import (
+            export_adain_onnx,
+        )
+        from fast_neural_style_transfer_tpu.export.onnx_runtime import run_model
+        from fast_neural_style_transfer_tpu.models.adain import (
+            blended_style_stats,
+        )
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        s1 = jax.random.normal(jax.random.PRNGKey(3), (1, 40, 48, 3))
+        s2 = jax.random.normal(jax.random.PRNGKey(4), (1, 24, 24, 3))
+
+        path = str(tmp_path / "adain_baked.onnx")
+        export_adain_onnx(
+            dec, vgg, path, alpha=0.7,
+            content_shape=(1, 3, 32, 32),
+            baked_style=blended_style_stats(vgg, [s1, s2], [0.6, 0.4]),
+        )
+        with open(path, "rb") as f:
+            data = f.read()
+        # single-input graph: the style input (and its whole VGG branch)
+        # is gone from the serialized model
+        from fast_neural_style_transfer_tpu.export.onnx_runtime import (
+            parse_model,
+        )
+
+        assert parse_model(data)["inputs"] == ["content_image"]
+        (out,) = run_model(data, {
+            "content_image": np.transpose(np.asarray(content), (0, 3, 1, 2)),
+        })
+        native = stylize_arbitrary(dec, vgg, content, [s1, s2],
+                                   style_weights=[0.6, 0.4], alpha=0.7)
+        np.testing.assert_allclose(
+            np.transpose(out, (0, 2, 3, 1)), np.asarray(native),
+            rtol=1e-3, atol=1e-4,
+        )
+
     def test_non_multiple_of_8_rejected(self, tmp_path):
         from fast_neural_style_transfer_tpu.export.onnx_adain import (
             export_adain_onnx,
