@@ -274,6 +274,16 @@ def train_adain(cfg: AdaINTrainConfig) -> str:
     wall = time.perf_counter() - t0
     if n:
         print(f"AdaIN: trained to step {n} in {wall:.1f}s", flush=True)
+    try:  # loss-curve PNGs, same contract as the main loop (train/loop.py)
+        from fast_neural_style_transfer_tpu.utils.visualization import (
+            plot_loss_curves,
+        )
+
+        plot_loss_curves(os.path.join(cfg.output_dir, "metrics.jsonl"),
+                         cfg.output_dir,
+                         curves=("loss", "content_loss", "style_loss"))
+    except Exception as e:  # plotting must never fail a training run
+        print(f"loss-curve plotting skipped: {e}", flush=True)
     final = os.path.join(cfg.output_dir, "adain_decoder_final.npz")
     save_params_npz(jax.device_get(state.params), final)
     print(f"AdaIN decoder saved to {final}", flush=True)

@@ -314,6 +314,8 @@ class TestEndToEnd:
         records = [json.loads(l)
                    for l in open(os.path.join(out_dir, "metrics.jsonl"))]
         assert records and np.isfinite(records[-1]["loss"])
+        # loss-curve PNGs, like the main trainer (reference assets parity)
+        assert os.path.exists(os.path.join(out_dir, "loss.png"))
 
         # stylize with a style image NEVER seen in training — the point of
         # the model family; content size 40 is not a multiple of 8, so the
