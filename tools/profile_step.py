@@ -1,6 +1,10 @@
 #!/usr/bin/env python
-"""Profile the b20 train step on the attached TPU and print an hlo_stats
-category/op breakdown (the tool behind DESIGN.md §8's attribution tables)."""
+"""Profile a train step on the attached TPU and print an hlo_stats
+category/op breakdown (the tool behind DESIGN.md §8's attribution tables).
+
+    python tools/profile_step.py [batch] [outdir]          # flagship step
+    python tools/profile_step.py [batch] [outdir] adain    # AdaIN step
+"""
 import glob
 import os
 import sys
@@ -37,25 +41,53 @@ def build_step(batch=20):
     return step, state, vgg, x, grams, rng
 
 
+def build_adain_step(batch=8):
+    """The AdaIN decoder train step (train/adain.py) with device-resident
+    uint8 batches, packaged behind the same run(state) interface."""
+    import optax
+
+    from fast_neural_style_transfer_tpu.core.dtypes import Precision
+    from fast_neural_style_transfer_tpu.models.adain import AdaINDecoder
+    from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+    from fast_neural_style_transfer_tpu.train.adain import make_adain_train_step
+    from fast_neural_style_transfer_tpu.train.state import create_train_state
+
+    prec = Precision.bf16() if jax.devices()[0].platform == "tpu" else Precision.f32()
+    key = jax.random.PRNGKey(0)
+    vgg = VGG19Features.init(key)
+    opt = optax.adam(1e-4)
+    state = create_train_state(AdaINDecoder.init(key), opt)
+    step = make_adain_train_step(opt, precision=prec)
+    rng = np.random.default_rng(1)
+    content = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3)), jnp.uint8)
+    style = jnp.asarray(rng.integers(0, 256, (batch, 256, 256, 3)), jnp.uint8)
+    return lambda s: step(s, vgg, content, style), state
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/profile_step"
-    step, state, vgg, x, grams, rng = build_step(batch)
+    family = sys.argv[3] if len(sys.argv) > 3 else "flagship"
+    if family == "adain":
+        run, state = build_adain_step(batch)
+    else:
+        step, state, vgg, x, grams, rng = build_step(batch)
+        run = lambda s: step(s, vgg, x, grams, rng)
     # compile + warm
     for _ in range(2):
-        state, m = step(state, vgg, x, grams, rng)
+        state, m = run(state)
     float(m["loss"])
 
     jax.profiler.start_trace(outdir)
     for _ in range(3):
-        state, m = step(state, vgg, x, grams, rng)
+        state, m = run(state)
     float(m["loss"])
     jax.profiler.stop_trace()
 
     # wall measurement (chain of 10)
     t0 = time.perf_counter()
     for _ in range(10):
-        state, m = step(state, vgg, x, grams, rng)
+        state, m = run(state)
     float(m["loss"])
     wall = (time.perf_counter() - t0) * 1000 / 10
     print(f"wall per step (incl. one RTT/10): {wall:.1f} ms")
