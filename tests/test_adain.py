@@ -636,3 +636,23 @@ class TestArbitraryStylizer:
         with pytest.raises(SystemExit, match="exactly one"):
             adain_main(["stylize", "--decoder", dec_path,
                         "--style_image", str(style)])
+
+    def test_data_parallel_sharding_identical_output(self):
+        """Batch sharded over the 8-device data mesh must produce the exact
+        unsharded output (per-(b,c) moments never cross the batch axis)."""
+        from fast_neural_style_transfer_tpu.infer.adain import ArbitraryStylizer
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        vgg, dec = self._setup()
+        rng = np.random.default_rng(7)
+        style_u8 = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        content = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+
+        base = ArbitraryStylizer(dec, vgg).set_style_u8(style_u8)
+        plan = make_mesh_plan()
+        dp = ArbitraryStylizer(dec, vgg, sharding=plan.batch_sharding)
+        dp.set_style_u8(style_u8)
+        np.testing.assert_array_equal(dp.stylize_u8(content),
+                                      base.stylize_u8(content))
+        # non-divisible batches fall back to the default device, not crash
+        assert dp.stylize_u8(content[:3]).shape == (3, 32, 32, 3)
