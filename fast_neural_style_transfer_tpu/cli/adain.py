@@ -89,7 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_decoder(path: str):
-    """Decoder params from .npz or an Orbax checkpoint directory."""
+    """Decoder params from .npz, a torch .pth/.pt state_dict (the public
+    AdaIN implementations' decoder format, export/torch_adain.py), or an
+    Orbax checkpoint directory."""
     import jax
 
     from fast_neural_style_transfer_tpu.models.adain import AdaINDecoder
@@ -99,6 +101,12 @@ def load_decoder(path: str):
         from fast_neural_style_transfer_tpu.train.checkpoint import load_params_npz
 
         return load_params_npz(template, path)
+    if path.endswith((".pth", ".pt", ".bin")):
+        from fast_neural_style_transfer_tpu.export.torch_adain import (
+            load_torch_adain_decoder,
+        )
+
+        return load_torch_adain_decoder(path)
     import os
 
     if not os.path.isdir(path):

@@ -656,3 +656,70 @@ class TestArbitraryStylizer:
                                       base.stylize_u8(content))
         # non-divisible batches fall back to the default device, not crash
         assert dp.stylize_u8(content[:3]).shape == (3, 32, 32, 3)
+
+
+class TestTorchDecoderInterchange:
+    """export/torch_adain.py: the canonical-architecture decoder moves
+    between the torch ecosystem's Sequential state_dicts and our pytree."""
+
+    def test_roundtrip_and_forward_parity(self, tmp_path):
+        import torch
+
+        from fast_neural_style_transfer_tpu.export.torch_adain import (
+            build_torch_decoder,
+            load_torch_adain_decoder,
+            save_torch_adain_decoder,
+        )
+
+        params = AdaINDecoder.init(jax.random.PRNGKey(0))
+        path = str(tmp_path / "decoder.pth")
+        save_torch_adain_decoder(params, path)
+        back = load_torch_adain_decoder(path)
+        for a, b in zip(params["convs"], back["convs"]):
+            np.testing.assert_allclose(np.asarray(a["w"]), b["w"], rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(a["b"]), b["b"], rtol=1e-6)
+
+        # forward parity: torch Sequential (NCHW) vs our decoder (NHWC)
+        dec = build_torch_decoder()
+        dec.load_state_dict(torch.load(path, weights_only=True))
+        feat = np.random.default_rng(0).normal(
+            size=(1, 4, 6, 512)).astype(np.float32)
+        with torch.no_grad():
+            ref = dec(torch.from_numpy(np.transpose(feat, (0, 3, 1, 2))))
+        ours = AdaINDecoder.apply(params, jnp.asarray(feat))
+        np.testing.assert_allclose(
+            np.asarray(ours), np.transpose(ref.numpy(), (0, 2, 3, 1)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_wrapped_and_prefixed_state_dicts(self, tmp_path):
+        """Order-based import survives key prefixes and common wrappers."""
+        import torch
+
+        from fast_neural_style_transfer_tpu.cli.adain import load_decoder
+        from fast_neural_style_transfer_tpu.export.torch_adain import (
+            save_torch_adain_decoder,
+        )
+
+        params = AdaINDecoder.init(jax.random.PRNGKey(1))
+        plain = str(tmp_path / "d.pth")
+        save_torch_adain_decoder(params, plain)
+        sd = torch.load(plain, weights_only=True)
+        wrapped = {"decoder": {f"module.decoder.{k}": v for k, v in sd.items()}}
+        path = str(tmp_path / "wrapped.pth")
+        torch.save(wrapped, path)
+        back = load_decoder(path)  # the CLI loader routes .pth here
+        np.testing.assert_allclose(
+            np.asarray(params["convs"][3]["w"]), back["convs"][3]["w"],
+            rtol=1e-6)
+
+    def test_architecture_mismatch_rejected(self):
+        from fast_neural_style_transfer_tpu.export.torch_adain import (
+            adain_decoder_from_state_dict,
+        )
+
+        with pytest.raises(ValueError, match="architecture mismatch"):
+            adain_decoder_from_state_dict({
+                "0.weight": np.zeros((256, 512, 3, 3), np.float32),
+                "0.bias": np.zeros((256,), np.float32),
+            })
