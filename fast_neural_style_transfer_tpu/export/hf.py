@@ -84,6 +84,75 @@ def package_for_hub(params: Any, out_dir: str, *, metadata: Optional[dict] = Non
     return out_dir
 
 
+_ADAIN_CARD = """---
+library_name: fast_neural_style_transfer_tpu
+tags: [style-transfer, adain, arbitrary-style, jax, tpu]
+---
+
+# AdaIN Arbitrary-Style Transfer Decoder (TPU-trained)
+
+Huang & Belongie 2017 AdaIN decoder (canonical architecture), trained with
+the TPU-native fast_neural_style_transfer_tpu framework. Stylizes with ANY
+style image at inference; pair it with standard torchvision VGG19 encoder
+weights.
+
+Files:
+- `decoder.pth` — PyTorch state_dict (loads into the public implementations'
+  decoder Sequential)
+- `decoder.npz` — native JAX parameter pytree
+- `adain_pipeline.onnx` — full two-input pipeline (VGG walk + AdaIN +
+  decoder) as one opset-11 graph
+"""
+
+
+def package_adain_for_hub(
+    decoder_params: Any,
+    vgg_params: Any,
+    out_dir: str,
+    *,
+    metadata: Optional[dict] = None,
+) -> str:
+    """AdaIN counterpart of ``package_for_hub``: decoder in torch + native
+    formats plus the full-pipeline ONNX graph and a model card."""
+    os.makedirs(out_dir, exist_ok=True)
+    have_pth = True
+    try:
+        from fast_neural_style_transfer_tpu.export.torch_adain import (
+            save_torch_adain_decoder,
+        )
+
+        save_torch_adain_decoder(
+            decoder_params, os.path.join(out_dir, "decoder.pth"))
+    except ImportError:
+        have_pth = False
+        print(
+            "package_adain_for_hub: torch not importable — decoder.pth "
+            "omitted from the package",
+            flush=True,
+        )
+    from fast_neural_style_transfer_tpu.export.onnx_adain import export_adain_onnx
+    from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    save_params_npz(decoder_params, os.path.join(out_dir, "decoder.npz"))
+    export_adain_onnx(
+        decoder_params, vgg_params, os.path.join(out_dir, "adain_pipeline.onnx"),
+        content_shape=(1, 3, "height", "width"),
+        style_shape=(1, 3, "style_h", "style_w"),
+    )
+    card = _ADAIN_CARD
+    if not have_pth:
+        card = "\n".join(
+            l for l in card.splitlines()
+            if "decoder.pth" not in l and "decoder Sequential" not in l
+        ) + "\n"
+    with open(os.path.join(out_dir, "README.md"), "w") as fh:
+        fh.write(card)
+    if metadata:
+        with open(os.path.join(out_dir, "config.json"), "w") as fh:
+            json.dump(metadata, fh, indent=2)
+    return out_dir
+
+
 def upload_to_hub(local_dir: str, repo_id: str, *, token: Optional[str] = None) -> str:
     """Push a packaged dir to the Hub. Requires network + token."""
     from huggingface_hub import HfApi

@@ -81,6 +81,35 @@ def test_package_for_hub(tmp_path):
     assert "conv1.conv.weight" in sd
 
 
+def test_package_adain_for_hub(tmp_path):
+    from fast_neural_style_transfer_tpu.export.hf import package_adain_for_hub
+    from fast_neural_style_transfer_tpu.models.adain import AdaINDecoder
+    from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+    out = package_adain_for_hub(
+        AdaINDecoder.init(jax.random.PRNGKey(0)),
+        VGG19Features.init(jax.random.PRNGKey(1)),
+        str(tmp_path / "hub"), metadata={"steps": 10})
+    files = set(os.listdir(out))
+    assert {"decoder.pth", "decoder.npz", "adain_pipeline.onnx", "README.md",
+            "config.json"} <= files
+    # the .pth must load strict into the canonical torch Sequential
+    import torch
+
+    from fast_neural_style_transfer_tpu.export.torch_adain import (
+        build_torch_decoder,
+    )
+
+    build_torch_decoder().load_state_dict(
+        torch.load(os.path.join(out, "decoder.pth"), weights_only=True))
+    # the ONNX graph kept symbolic content dims (any-size serving)
+    from fast_neural_style_transfer_tpu.export.onnx_runtime import parse_model
+
+    with open(os.path.join(out, "adain_pipeline.onnx"), "rb") as fh:
+        m = parse_model(fh.read())
+    assert m["inputs"] == ["content_image", "style_image"]
+
+
 def test_ssim_identical_and_noisy(rng):
     from fast_neural_style_transfer_tpu.utils.ssim import ssim
 
