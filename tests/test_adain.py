@@ -723,3 +723,70 @@ class TestTorchDecoderInterchange:
                 "0.weight": np.zeros((256, 512, 3, 3), np.float32),
                 "0.bias": np.zeros((256,), np.float32),
             })
+
+
+class TestTorchPipelineOracle:
+    """Cross-framework oracle: the ENTIRE arbitrary-style pipeline (VGG walk
+    to relu4_1 -> AdaIN -> decoder, with alpha) re-executed in PyTorch over
+    the same weights must match stylize_arbitrary — an independent-framework
+    check in the spirit of tests/test_reference_oracle.py (the reference has
+    no AdaIN to import, so torch itself is the second implementation)."""
+
+    def test_full_pipeline_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from fast_neural_style_transfer_tpu.export.torch_adain import (
+            build_torch_decoder,
+            save_torch_adain_decoder,
+        )
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features, _CFG
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(0)
+        content = rng.normal(size=(1, 32, 40, 3)).astype(np.float32)
+        style = rng.normal(size=(1, 24, 24, 3)).astype(np.float32)
+
+        def t_vgg(x):  # torch VGG19 walk to relu4_1 over the same params
+            h = x
+            for name, cout in _CFG:
+                if cout:
+                    w = torch.from_numpy(np.transpose(
+                        np.asarray(vgg[name]["w"], np.float32), (3, 2, 0, 1)))
+                    b = torch.from_numpy(np.asarray(vgg[name]["b"], np.float32))
+                    h = F.relu(F.conv2d(h, w, b, padding=1))
+                    if name == "conv4_1":
+                        return h
+                else:
+                    h = F.max_pool2d(h, 2, 2)
+            raise AssertionError("conv4_1 not reached")
+
+        def t_stats(f):
+            mu = f.mean(dim=(2, 3), keepdim=True)
+            var = f.var(dim=(2, 3), keepdim=True, unbiased=False)
+            return mu, torch.sqrt(var + 1e-5)
+
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".pth") as tmp:
+            save_torch_adain_decoder(dec, tmp.name)
+            t_dec = build_torch_decoder()
+            t_dec.load_state_dict(torch.load(tmp.name, weights_only=True))
+
+        alpha = 0.8
+        with torch.no_grad():
+            cf = t_vgg(torch.from_numpy(np.transpose(content, (0, 3, 1, 2))))
+            sf = t_vgg(torch.from_numpy(np.transpose(style, (0, 3, 1, 2))))
+            mu_c, sd_c = t_stats(cf)
+            mu_s, sd_s = t_stats(sf)
+            t = sd_s * (cf - mu_c) / sd_c + mu_s
+            t = alpha * t + (1 - alpha) * cf
+            ref = t_dec(t).numpy()
+
+        ours = stylize_arbitrary(dec, vgg, jnp.asarray(content),
+                                 jnp.asarray(style), alpha=alpha)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.transpose(ref, (0, 2, 3, 1)),
+            rtol=2e-3, atol=1e-4,
+        )
