@@ -13,6 +13,12 @@ feed-forward stylization with instance normalization), designed TPU-first:
 - Pallas kernels for the hot fused ops (Gram matrix, instance-norm fusions)
 - host-side input pipeline overlapped with device compute
 
+Beyond the reference: multi-style training in one net (conditional instance
+norm, baked for serving — models/transformer.py), AdaIN arbitrary-style
+transfer (models/adain.py: any style image at inference, cached-style
+serving, spatial sharding, ONNX + torch interchange), int8/u8 serving paths,
+and H-sharded spatial parallelism for very large images.
+
 Package layout:
     core/      dtypes, prng, padding/shape utilities
     ops/       conv / norm / gram ops (XLA lowering + Pallas kernels)
