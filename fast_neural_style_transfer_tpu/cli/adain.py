@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--total_steps", type=int, default=20_000)
     t.add_argument("--batch_size", type=int, default=8)
     t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--lr_decay", type=float, default=5e-5,
+                   help="Inverse-time lr decay lr/(1+decay*step), the "
+                        "paper's recipe; 0 = constant lr")
     t.add_argument("--style_weight", type=float, default=10.0)
     t.add_argument("--image_size", type=int, nargs=2, default=(256, 256),
                    metavar=("H", "W"))
@@ -136,6 +139,7 @@ def main(argv=None) -> None:
             total_steps=args.total_steps,
             batch_size=args.batch_size,
             lr=args.lr,
+            lr_decay=args.lr_decay,
             style_weight=args.style_weight,
             image_size=tuple(args.image_size),
             precision=args.precision,

@@ -88,6 +88,17 @@ def adain_loss_fn(
     }
 
 
+def make_adain_lr_schedule(lr: float, decay: float = 5e-5):
+    """The AdaIN paper's inverse-time decay, ``lr / (1 + decay * step)``, as
+    an optax schedule (a pure function of the applied-update count, so a
+    restored checkpoint resumes at the right position; decay=0 is constant
+    lr)."""
+    def schedule(count):
+        return lr / (1.0 + decay * count)
+
+    return schedule
+
+
 def make_adain_train_step(
     optimizer: optax.GradientTransformation,
     *,
@@ -139,6 +150,10 @@ class AdaINTrainConfig:
     total_steps: int = 20_000
     batch_size: int = 8
     lr: float = 1e-4
+    # paper recipe (official implementation): lr / (1 + decay * step),
+    # a pure function of the optimizer step count so resume is consistent
+    # (same schedule contract as the flagship, train/state.py). 0 disables.
+    lr_decay: float = 5e-5
     style_weight: float = 10.0
     image_size: Tuple[int, int] = (256, 256)
     precision: str = "f32"
@@ -176,7 +191,7 @@ def train_adain(cfg: AdaINTrainConfig) -> str:
     vgg_params = jax.device_put(
         resolve_params(cfg.vgg_weights, seed=cfg.seed), plan.replicated
     )
-    optimizer = optax.adam(cfg.lr)
+    optimizer = optax.adam(make_adain_lr_schedule(cfg.lr, cfg.lr_decay))
     state = create_train_state(AdaINDecoder.init(jax.random.PRNGKey(cfg.seed)),
                                optimizer)
     state = replicate_state(state, plan.replicated)

@@ -790,3 +790,48 @@ class TestTorchPipelineOracle:
             np.asarray(ours), np.transpose(ref, (0, 2, 3, 1)),
             rtol=2e-3, atol=1e-4,
         )
+
+
+class TestLRSchedule:
+    def test_inverse_time_decay_math(self):
+        from fast_neural_style_transfer_tpu.train.adain import (
+            make_adain_lr_schedule,
+        )
+
+        s = make_adain_lr_schedule(1e-4, 5e-5)
+        assert float(s(0)) == pytest.approx(1e-4)
+        assert float(s(20_000)) == pytest.approx(1e-4 / 2.0)
+        s0 = make_adain_lr_schedule(1e-4, 0.0)
+        assert float(s0(10**6)) == pytest.approx(1e-4)
+
+    def test_decay_shrinks_updates(self):
+        """An aggressively-decayed optimizer must move params less than a
+        constant-lr one over the same trajectory (the schedule is actually
+        wired into the updates, not just printed)."""
+        import optax
+
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+        from fast_neural_style_transfer_tpu.train.adain import (
+            make_adain_lr_schedule,
+            make_adain_train_step,
+        )
+        from fast_neural_style_transfer_tpu.train.state import create_train_state
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        content = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3)), jnp.uint8)
+        style = jnp.asarray(
+            np.random.default_rng(1).integers(0, 256, (2, 32, 32, 3)), jnp.uint8)
+
+        def total_movement(decay):
+            opt = optax.adam(make_adain_lr_schedule(1e-4, decay))
+            params0 = AdaINDecoder.init(jax.random.PRNGKey(1))
+            state = create_train_state(params0, opt)
+            step = make_adain_train_step(opt, donate=False)
+            for _ in range(3):
+                state, _ = step(state, vgg, content, style)
+            return float(sum(
+                jnp.sum(jnp.abs(a - b)) for a, b in zip(
+                    jax.tree.leaves(state.params), jax.tree.leaves(params0))))
+
+        assert total_movement(decay=10.0) < 0.6 * total_movement(decay=0.0)
