@@ -68,6 +68,20 @@ def main(out_dir: str = "adain_out") -> None:
                             style_weights=[0.7, 0.3])
     save_image(np.asarray(out), os.path.join(out_dir, "interpolated.jpg"))
 
+    # 5. serving: cache the style once (ArbitraryStylizer), then stream
+    #    uint8 batches through one compiled program — alpha is a traced
+    #    operand, so sweeping strength reuses the same executable
+    from fast_neural_style_transfer_tpu.infer import ArbitraryStylizer
+
+    styler = ArbitraryStylizer(state.params, vgg, bucket_multiple=8)
+    styler.set_style_u8(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    frames = rng.integers(0, 256, (4, 96, 96, 3), dtype=np.uint8)
+    for a in (0.4, 1.0):
+        out_u8 = styler.stylize_u8(frames, alpha=a)
+        save_image(out_u8[0].astype(np.float32) / 255.0,
+                   os.path.join(out_dir, f"served_a{a:.1f}.jpg"),
+                   denormalize=False)  # stylize_u8 already returns pixels
+
     final = os.path.join(out_dir, "adain_decoder.npz")
     save_params_npz(jax.device_get(state.params), final)
     print(f"wrote {sorted(os.listdir(out_dir))} to {out_dir}")

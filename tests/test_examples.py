@@ -41,5 +41,6 @@ def test_adain_example(tmp_path):
     out = _run("adain.py", str(tmp_path))
     assert "loss" in out.lower()
     for name in ("arbitrary.jpg", "alpha0.0.jpg", "alpha1.0.jpg",
-                 "interpolated.jpg", "adain_decoder.npz"):
+                 "interpolated.jpg", "served_a0.4.jpg", "served_a1.0.jpg",
+                 "adain_decoder.npz"):
         assert os.path.exists(tmp_path / name)
