@@ -72,9 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "encode/decode, psum'd AdaIN stats; for very large "
                         "images)")
 
-    e = sub.add_parser("export", help="export the full pipeline to ONNX")
+    e = sub.add_parser("export",
+                       help="export the full pipeline (ONNX / TorchScript)")
     e.add_argument("--decoder", required=True)
-    e.add_argument("--onnx", required=True, help="output .onnx path")
+    e.add_argument("--onnx", default=None, help="output .onnx path")
+    e.add_argument("--torchscript", default=None,
+                   help="output traced two-input .pt path")
     e.add_argument("--vgg_weights", default=None)
     e.add_argument("--alpha", type=float, default=1.0,
                    help="style strength baked into the graph")
@@ -175,17 +178,34 @@ def main(argv=None) -> None:
             ]
             baked = blended_style_stats(vgg_params, styles, args.style_blend)
 
-        export_adain_onnx(
-            load_decoder(args.decoder),
-            vgg_params,
-            args.onnx,
-            alpha=args.alpha,
-            content_shape=(1, 3, *args.content_shape),
-            style_shape=(1, 3, *args.style_shape),
-            baked_style=baked,
-        )
-        print(f"wrote {args.onnx}"
-              + (" (baked style, single input)" if baked is not None else ""))
+        if not args.onnx and not args.torchscript:
+            raise SystemExit("pass --onnx and/or --torchscript")
+        decoder = load_decoder(args.decoder)
+        if args.onnx:
+            export_adain_onnx(
+                decoder,
+                vgg_params,
+                args.onnx,
+                alpha=args.alpha,
+                content_shape=(1, 3, *args.content_shape),
+                style_shape=(1, 3, *args.style_shape),
+                baked_style=baked,
+            )
+            print(f"wrote {args.onnx}"
+                  + (" (baked style, single input)" if baked is not None
+                     else ""))
+        if args.torchscript:
+            if baked is not None:
+                raise SystemExit(
+                    "--style_image baking is ONNX-only; the TorchScript "
+                    "artifact keeps the style as a runtime input")
+            from fast_neural_style_transfer_tpu.export.torch_adain import (
+                export_adain_torchscript,
+            )
+
+            export_adain_torchscript(decoder, vgg_params, args.torchscript,
+                                     alpha=args.alpha)
+            print(f"wrote {args.torchscript}")
         return
 
     # stylize

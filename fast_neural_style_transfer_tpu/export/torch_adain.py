@@ -115,6 +115,88 @@ def build_torch_decoder():
     return nn.Sequential(*layers)
 
 
+def export_adain_torchscript(
+    decoder_params: Params,
+    vgg_params: Any,
+    path: str,
+    *,
+    alpha: float = 1.0,
+    example_hw: int = 64,
+) -> str:
+    """Trace the FULL arbitrary-style pipeline (VGG19 walk to relu4_1 on
+    both inputs, AdaIN, decoder) to a two-input TorchScript ``.pt`` —
+    the torch-runtime counterpart of the two-input ONNX export
+    (export/onnx_adain.py). NCHW, ImageNet-normalized inputs; alpha is
+    baked at export like the ONNX path. Resolution-agnostic: the traced
+    graph contains only shape-polymorphic ops (conv/pool/interpolate/
+    mean), so any H, W divisible by 8 runs."""
+    import torch
+    import torch.nn.functional as F
+
+    from fast_neural_style_transfer_tpu.models.vgg import _CFG as VGG_CFG
+
+    vgg_sd = {}
+    for name, cout in VGG_CFG:
+        if not cout:
+            continue
+        p = vgg_params[name]
+        vgg_sd[name] = (
+            torch.from_numpy(np.transpose(
+                np.asarray(p["w"], np.float32), (3, 2, 0, 1))),
+            torch.from_numpy(np.asarray(p["b"], np.float32)),
+        )
+        if "relu" + name[4:] == "relu4_1":
+            break
+    dec = build_torch_decoder()
+    sd = dec.state_dict()
+    it = iter(decoder_params["convs"])
+    for key in list(sd.keys()):
+        if key.endswith(".weight"):
+            conv = next(it)
+            sd[key] = torch.from_numpy(
+                np.transpose(np.asarray(conv["w"], np.float32), (3, 2, 0, 1)))
+            sd[key[:-len(".weight")] + ".bias"] = torch.from_numpy(
+                np.asarray(conv["b"], np.float32))
+    dec.load_state_dict(sd)
+    dec.eval()
+    for p in dec.parameters():  # traced as constants, not graph inputs
+        p.requires_grad_(False)
+    a = float(alpha)
+
+    def encode(x):
+        h = x
+        for name, cout in VGG_CFG:
+            if cout:
+                w, b = vgg_sd[name]
+                h = F.relu(F.conv2d(h, w, b, padding=1))
+                if "relu" + name[4:] == "relu4_1":
+                    return h
+            else:
+                h = F.max_pool2d(h, 2, 2)
+        return h
+
+    def stats(f):
+        mu = f.mean(dim=(2, 3), keepdim=True)
+        var = ((f - mu) ** 2).mean(dim=(2, 3), keepdim=True)
+        return mu, torch.sqrt(var + 1e-5)
+
+    def forward(content, style):
+        cf = encode(content)
+        sf = encode(style)
+        mu_c, sd_c = stats(cf)
+        mu_s, sd_s = stats(sf)
+        t = sd_s * (cf - mu_c) / sd_c + mu_s
+        t = a * t + (1.0 - a) * cf
+        return dec(t)
+
+    example = (torch.randn(1, 3, example_hw, example_hw),
+               torch.randn(1, 3, example_hw, example_hw))
+    with torch.no_grad():
+        traced = torch.jit.trace(forward, example)
+    traced.save(path)
+    return path
+
+
 def save_torch_adain_decoder(params: Params, path: str) -> str:
     """Our decoder params -> a torch state_dict .pth that loads strict into
     ``build_torch_decoder()`` (and, by layout, the public implementations)."""

@@ -713,6 +713,38 @@ class TestTorchDecoderInterchange:
             np.asarray(params["convs"][3]["w"]), back["convs"][3]["w"],
             rtol=1e-6)
 
+    def test_torchscript_full_pipeline(self, tmp_path):
+        """The traced two-input .pt loads with torch.jit.load, matches
+        stylize_arbitrary, and runs at resolutions other than the trace
+        example's (shape-polymorphic graph)."""
+        import torch
+
+        from fast_neural_style_transfer_tpu.export.torch_adain import (
+            export_adain_torchscript,
+        )
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        path = str(tmp_path / "adain.pt")
+        export_adain_torchscript(dec, vgg, path, alpha=0.8, example_hw=32)
+        loaded = torch.jit.load(path)
+
+        rng = np.random.default_rng(0)
+        content = rng.normal(size=(1, 40, 48, 3)).astype(np.float32)
+        style = rng.normal(size=(1, 24, 24, 3)).astype(np.float32)
+        with torch.no_grad():
+            got = loaded(
+                torch.from_numpy(np.transpose(content, (0, 3, 1, 2))),
+                torch.from_numpy(np.transpose(style, (0, 3, 1, 2))),
+            ).numpy()
+        ref = stylize_arbitrary(dec, vgg, jnp.asarray(content),
+                                jnp.asarray(style), alpha=0.8)
+        np.testing.assert_allclose(
+            np.transpose(got, (0, 2, 3, 1)), np.asarray(ref),
+            rtol=2e-3, atol=1e-4,
+        )
+
     def test_architecture_mismatch_rejected(self):
         from fast_neural_style_transfer_tpu.export.torch_adain import (
             adain_decoder_from_state_dict,
@@ -835,3 +867,4 @@ class TestLRSchedule:
                     jax.tree.leaves(state.params), jax.tree.leaves(params0))))
 
         assert total_movement(decay=10.0) < 0.6 * total_movement(decay=0.0)
+
