@@ -576,6 +576,21 @@ class TestArbitraryStylizer:
         assert not np.array_equal(a, b)  # alpha actually does something
         assert styler._fwd_u8._cache_size() == 1
 
+    def test_bucket_shares_compiled_program_across_shapes(self):
+        """Heterogeneous source shapes inside one 64-bucket must reuse ONE
+        compiled program (the recompile-storm guard for real photo dirs)."""
+        from fast_neural_style_transfer_tpu.infer.adain import ArbitraryStylizer
+
+        vgg, dec = self._setup()
+        rng = np.random.default_rng(8)
+        styler = ArbitraryStylizer(dec, vgg).set_style_u8(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+        for hw in ((40, 48), (56, 33), (64, 64)):
+            out = styler.stylize_u8(
+                rng.integers(0, 256, (1, *hw, 3), dtype=np.uint8))
+            assert out.shape == (1, *hw, 3)
+        assert styler._fwd_u8._cache_size() == 1
+
     def test_directory_bulk(self, tmp_path):
         from fast_neural_style_transfer_tpu.infer.adain import (
             stylize_directory_arbitrary,
@@ -867,4 +882,5 @@ class TestLRSchedule:
                     jax.tree.leaves(state.params), jax.tree.leaves(params0))))
 
         assert total_movement(decay=10.0) < 0.6 * total_movement(decay=0.0)
+
 
