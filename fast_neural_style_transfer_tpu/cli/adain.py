@@ -79,8 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--torchscript", default=None,
                    help="output traced two-input .pt path")
     e.add_argument("--vgg_weights", default=None)
-    e.add_argument("--alpha", type=float, default=1.0,
-                   help="style strength baked into the graph")
+    e.add_argument("--alpha", default=1.0,
+                   type=lambda s: s if s == "input" else float(s),
+                   help="style strength baked into the graph, or the "
+                        "literal 'input' to expose a scalar alpha graph "
+                        "input (ONNX only)")
     e.add_argument("--content_shape", type=int, nargs=2, default=(256, 256),
                    metavar=("H", "W"))
     e.add_argument("--style_shape", type=int, nargs=2, default=(256, 256),
@@ -199,6 +202,10 @@ def main(argv=None) -> None:
                 raise SystemExit(
                     "--style_image baking is ONNX-only; the TorchScript "
                     "artifact keeps the style as a runtime input")
+            if args.alpha == "input":
+                raise SystemExit(
+                    "--alpha input is ONNX-only; TorchScript traces bake "
+                    "the strength")
             from fast_neural_style_transfer_tpu.export.torch_adain import (
                 export_adain_torchscript,
             )

@@ -34,6 +34,7 @@ from fast_neural_style_transfer_tpu.models.vgg import _CFG as VGG_CFG
 
 CONTENT_NAME = "content_image"
 STYLE_NAME = "style_image"
+ALPHA_NAME = "alpha"
 OUTPUT_NAME = "output_image"
 
 
@@ -154,7 +155,11 @@ def build_adain_onnx(
     the style's moments ship as graph constants and the artifact becomes a
     SINGLE-input (content only) graph — the AdaIN analogue of the
     multi-style family's ``bake_style``: fix the style at export, drop the
-    per-image style encode. ``style_shape`` is ignored in that case."""
+    per-image style encode. ``style_shape`` is ignored in that case.
+
+    ``alpha``: a float bakes that strength into the graph; the string
+    ``"input"`` adds a scalar ``alpha`` graph input instead, so the
+    artifact keeps the family's runtime strength knob."""
     shapes = [(content_shape, "content")]
     if baked_style is None:
         shapes.append((style_shape, "style"))
@@ -198,7 +203,14 @@ def build_adain_onnx(
                 sd_s),
         mu_s,
     )
-    if alpha != 1.0:
+    if alpha == "input":
+        one_minus = g.binop("Sub", g.scalar(1.0), ALPHA_NAME)
+        t = g.binop(
+            "Add",
+            g.binop("Mul", t, ALPHA_NAME),
+            g.binop("Mul", c_feat, one_minus),
+        )
+    elif alpha != 1.0:
         t = g.binop(
             "Add",
             g.binop("Mul", t, g.scalar(float(alpha))),
@@ -222,6 +234,8 @@ def build_adain_onnx(
     inputs = [ow.value_info(CONTENT_NAME, content_shape)]
     if baked_style is None:
         inputs.append(ow.value_info(STYLE_NAME, style_shape))
+    if alpha == "input":
+        inputs.append(ow.value_info(ALPHA_NAME, ()))
     graph_msg = ow.graph(
         g.nodes,
         "adain_style_transfer",

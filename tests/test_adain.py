@@ -219,6 +219,44 @@ class TestONNXExport:
             rtol=1e-3, atol=1e-4,
         )
 
+    def test_alpha_as_runtime_input(self, tmp_path):
+        """alpha='input' exposes a scalar graph input: one artifact, any
+        strength at runtime — matches the native path at each alpha."""
+        from fast_neural_style_transfer_tpu.export.onnx_adain import (
+            export_adain_onnx,
+        )
+        from fast_neural_style_transfer_tpu.export.onnx_runtime import (
+            parse_model,
+            run_model,
+        )
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        style = jax.random.normal(jax.random.PRNGKey(3), (1, 24, 24, 3))
+
+        path = str(tmp_path / "adain_alpha.onnx")
+        export_adain_onnx(dec, vgg, path, alpha="input",
+                          content_shape=(1, 3, 32, 32),
+                          style_shape=(1, 3, 24, 24))
+        with open(path, "rb") as f:
+            data = f.read()
+        assert parse_model(data)["inputs"] == [
+            "content_image", "style_image", "alpha"]
+        feeds = {
+            "content_image": np.transpose(np.asarray(content), (0, 3, 1, 2)),
+            "style_image": np.transpose(np.asarray(style), (0, 3, 1, 2)),
+        }
+        for a in (0.3, 1.0):
+            (out,) = run_model(data, {**feeds,
+                                      "alpha": np.float32(a)})
+            native = stylize_arbitrary(dec, vgg, content, style, alpha=a)
+            np.testing.assert_allclose(
+                np.transpose(out, (0, 2, 3, 1)), np.asarray(native),
+                rtol=1e-3, atol=1e-4, err_msg=f"alpha={a}",
+            )
+
     def test_baked_style_export_single_input(self, tmp_path):
         """baked_style freezes the style moments into the graph: one input,
         no style VGG branch, same output as the live two-input pipeline."""
