@@ -162,6 +162,25 @@ def main(argv=None) -> None:
         from fast_neural_style_transfer_tpu.export.onnx_adain import export_adain_onnx
         from fast_neural_style_transfer_tpu.models.vgg_weights import resolve_params
 
+        # validate the full flag combination BEFORE any expensive work or
+        # artifact write (a combined export must not exit 1 half-done)
+        if not args.onnx and not args.torchscript:
+            raise SystemExit("pass --onnx and/or --torchscript")
+        if args.style_blend and not args.style_image:
+            raise SystemExit(
+                "--style_blend without --style_image does nothing: blend "
+                "weights only apply when baking style image(s) into the "
+                "graph")
+        if args.torchscript:
+            if args.style_image:
+                raise SystemExit(
+                    "--style_image baking is ONNX-only; the TorchScript "
+                    "artifact keeps the style as a runtime input")
+            if args.alpha == "input":
+                raise SystemExit(
+                    "--alpha input is ONNX-only; TorchScript traces bake "
+                    "the strength")
+
         vgg_params = resolve_params(args.vgg_weights)
         baked = None
         if args.style_image:
@@ -181,8 +200,6 @@ def main(argv=None) -> None:
             ]
             baked = blended_style_stats(vgg_params, styles, args.style_blend)
 
-        if not args.onnx and not args.torchscript:
-            raise SystemExit("pass --onnx and/or --torchscript")
         decoder = load_decoder(args.decoder)
         if args.onnx:
             export_adain_onnx(
@@ -198,14 +215,6 @@ def main(argv=None) -> None:
                   + (" (baked style, single input)" if baked is not None
                      else ""))
         if args.torchscript:
-            if baked is not None:
-                raise SystemExit(
-                    "--style_image baking is ONNX-only; the TorchScript "
-                    "artifact keeps the style as a runtime input")
-            if args.alpha == "input":
-                raise SystemExit(
-                    "--alpha input is ONNX-only; TorchScript traces bake "
-                    "the strength")
             from fast_neural_style_transfer_tpu.export.torch_adain import (
                 export_adain_torchscript,
             )

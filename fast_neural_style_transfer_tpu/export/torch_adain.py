@@ -27,9 +27,26 @@ from typing import Any, Dict
 
 import numpy as np
 
-from fast_neural_style_transfer_tpu.models.adain import _DECODER_CFG
+from fast_neural_style_transfer_tpu.models.adain import _DECODER_CFG, ENCODE_TAP
 
 Params = Dict[str, Any]
+
+
+def _load_params_into(dec, params: Params) -> None:
+    """Load our decoder params into a ``build_torch_decoder()`` module
+    in-place (HWIO -> OIHW; strict, so every shape is validated)."""
+    import torch
+
+    sd = dec.state_dict()
+    it = iter(params["convs"])
+    for key in list(sd.keys()):
+        if key.endswith(".weight"):
+            conv = next(it)
+            sd[key] = torch.from_numpy(
+                np.transpose(np.asarray(conv["w"], np.float32), (3, 2, 0, 1)))
+            sd[key[:-len(".weight")] + ".bias"] = torch.from_numpy(
+                np.asarray(conv["b"], np.float32))
+    dec.load_state_dict(sd)
 
 
 def _to_np(v) -> np.ndarray:
@@ -145,19 +162,10 @@ def export_adain_torchscript(
                 np.asarray(p["w"], np.float32), (3, 2, 0, 1))),
             torch.from_numpy(np.asarray(p["b"], np.float32)),
         )
-        if "relu" + name[4:] == "relu4_1":
+        if "relu" + name[4:] == ENCODE_TAP:
             break
     dec = build_torch_decoder()
-    sd = dec.state_dict()
-    it = iter(decoder_params["convs"])
-    for key in list(sd.keys()):
-        if key.endswith(".weight"):
-            conv = next(it)
-            sd[key] = torch.from_numpy(
-                np.transpose(np.asarray(conv["w"], np.float32), (3, 2, 0, 1)))
-            sd[key[:-len(".weight")] + ".bias"] = torch.from_numpy(
-                np.asarray(conv["b"], np.float32))
-    dec.load_state_dict(sd)
+    _load_params_into(dec, decoder_params)
     dec.eval()
     for p in dec.parameters():  # traced as constants, not graph inputs
         p.requires_grad_(False)
@@ -169,7 +177,7 @@ def export_adain_torchscript(
             if cout:
                 w, b = vgg_sd[name]
                 h = F.relu(F.conv2d(h, w, b, padding=1))
-                if "relu" + name[4:] == "relu4_1":
+                if "relu" + name[4:] == ENCODE_TAP:
                     return h
             else:
                 h = F.max_pool2d(h, 2, 2)
@@ -203,15 +211,6 @@ def save_torch_adain_decoder(params: Params, path: str) -> str:
     import torch
 
     dec = build_torch_decoder()
-    sd = dec.state_dict()
-    it = iter(params["convs"])
-    for key in list(sd.keys()):
-        if key.endswith(".weight"):
-            conv = next(it)
-            sd[key] = torch.from_numpy(
-                np.transpose(np.asarray(conv["w"], np.float32), (3, 2, 0, 1)))
-            sd[key[:-len(".weight")] + ".bias"] = torch.from_numpy(
-                np.asarray(conv["b"], np.float32))
-    dec.load_state_dict(sd)  # strict: validates every shape
-    torch.save(sd, path)
+    _load_params_into(dec, params)  # strict: validates every shape
+    torch.save(dec.state_dict(), path)
     return path

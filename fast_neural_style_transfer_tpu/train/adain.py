@@ -88,15 +88,16 @@ def adain_loss_fn(
     }
 
 
-def make_adain_lr_schedule(lr: float, decay: float = 5e-5):
-    """The AdaIN paper's inverse-time decay, ``lr / (1 + decay * step)``, as
-    an optax schedule (a pure function of the applied-update count, so a
-    restored checkpoint resumes at the right position; decay=0 is constant
-    lr)."""
-    def schedule(count):
-        return lr / (1.0 + decay * count)
-
-    return schedule
+def lr_decay_factor(decay: float, step):
+    """The AdaIN paper's inverse-time decay as a multiplier on the base lr:
+    ``1 / (1 + decay * step)``. Applied to the UPDATES (Adam's step
+    magnitude is proportional to lr, so scaling updates by f is exactly
+    lr*f) rather than as an optax schedule — adam(callable) stores a
+    different opt_state pytree than adam(float), which would break
+    restoring checkpoints written before the decay existed. ``step`` is the
+    TrainState's applied-update count, so a restored run resumes at the
+    exact schedule position; decay=0 is constant lr."""
+    return 1.0 / (1.0 + decay * step)
 
 
 def make_adain_train_step(
@@ -105,6 +106,7 @@ def make_adain_train_step(
     style_weight: float = 10.0,
     precision: Precision = Precision.f32(),
     donate: bool = True,
+    lr_decay: float = 0.0,
 ) -> Callable:
     """Jitted ``step(state, vgg_params, content, style) -> (state, metrics)``.
 
@@ -120,6 +122,10 @@ def make_adain_train_step(
         )(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
+        if lr_decay:
+            scale = lr_decay_factor(lr_decay, state.step).astype(jnp.float32)
+            updates = jax.tree.map(
+                lambda u: (u * scale).astype(u.dtype), updates)
         new_params = optax.apply_updates(state.params, updates)
         finite = jnp.isfinite(metrics["loss"])
         select = lambda new, old: jax.tree.map(
@@ -150,9 +156,10 @@ class AdaINTrainConfig:
     total_steps: int = 20_000
     batch_size: int = 8
     lr: float = 1e-4
-    # paper recipe (official implementation): lr / (1 + decay * step),
-    # a pure function of the optimizer step count so resume is consistent
-    # (same schedule contract as the flagship, train/state.py). 0 disables.
+    # paper recipe (official implementation): lr / (1 + decay * step) as a
+    # pure function of the applied-update count (see lr_decay_factor — the
+    # decay multiplies the updates so pre-decay checkpoints stay
+    # restorable). 0 disables.
     lr_decay: float = 5e-5
     style_weight: float = 10.0
     image_size: Tuple[int, int] = (256, 256)
@@ -191,7 +198,7 @@ def train_adain(cfg: AdaINTrainConfig) -> str:
     vgg_params = jax.device_put(
         resolve_params(cfg.vgg_weights, seed=cfg.seed), plan.replicated
     )
-    optimizer = optax.adam(make_adain_lr_schedule(cfg.lr, cfg.lr_decay))
+    optimizer = optax.adam(cfg.lr)
     state = create_train_state(AdaINDecoder.init(jax.random.PRNGKey(cfg.seed)),
                                optimizer)
     state = replicate_state(state, plan.replicated)
@@ -212,7 +219,8 @@ def train_adain(cfg: AdaINTrainConfig) -> str:
             flush=True,
         )
 
-    step = make_adain_train_step(optimizer, style_weight=cfg.style_weight,
+    step = make_adain_train_step(optimizer, lr_decay=cfg.lr_decay,
+                                 style_weight=cfg.style_weight,
                                  precision=prec)
 
     # two independent streams; different seeds decorrelate the pairing

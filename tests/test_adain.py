@@ -879,46 +879,71 @@ class TestTorchPipelineOracle:
 
 class TestLRSchedule:
     def test_inverse_time_decay_math(self):
-        from fast_neural_style_transfer_tpu.train.adain import (
-            make_adain_lr_schedule,
-        )
+        from fast_neural_style_transfer_tpu.train.adain import lr_decay_factor
 
-        s = make_adain_lr_schedule(1e-4, 5e-5)
-        assert float(s(0)) == pytest.approx(1e-4)
-        assert float(s(20_000)) == pytest.approx(1e-4 / 2.0)
-        s0 = make_adain_lr_schedule(1e-4, 0.0)
-        assert float(s0(10**6)) == pytest.approx(1e-4)
+        assert float(lr_decay_factor(5e-5, 0)) == pytest.approx(1.0)
+        assert float(lr_decay_factor(5e-5, 20_000)) == pytest.approx(0.5)
+        assert float(lr_decay_factor(0.0, 10**6)) == pytest.approx(1.0)
 
-    def test_decay_shrinks_updates(self):
-        """An aggressively-decayed optimizer must move params less than a
-        constant-lr one over the same trajectory (the schedule is actually
-        wired into the updates, not just printed)."""
+    def _one_update_movement(self, lr_decay, start_step):
         import optax
 
         from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
         from fast_neural_style_transfer_tpu.train.adain import (
-            make_adain_lr_schedule,
             make_adain_train_step,
         )
-        from fast_neural_style_transfer_tpu.train.state import create_train_state
+        from fast_neural_style_transfer_tpu.train.state import (
+            TrainState,
+            create_train_state,
+        )
 
         vgg = VGG19Features.init(jax.random.PRNGKey(0))
         content = jnp.asarray(
             np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3)), jnp.uint8)
         style = jnp.asarray(
             np.random.default_rng(1).integers(0, 256, (2, 32, 32, 3)), jnp.uint8)
+        opt = optax.adam(1e-4)
+        params0 = AdaINDecoder.init(jax.random.PRNGKey(1))
+        state = create_train_state(params0, opt)
+        state = TrainState(params=state.params, opt_state=state.opt_state,
+                           step=jnp.asarray(start_step, state.step.dtype))
+        step = make_adain_train_step(opt, donate=False, lr_decay=lr_decay)
+        state, _ = step(state, vgg, content, style)
+        return float(sum(
+            jnp.sum(jnp.abs(a - b)) for a, b in zip(
+                jax.tree.leaves(state.params), jax.tree.leaves(params0))))
 
-        def total_movement(decay):
-            opt = optax.adam(make_adain_lr_schedule(1e-4, decay))
-            params0 = AdaINDecoder.init(jax.random.PRNGKey(1))
-            state = create_train_state(params0, opt)
-            step = make_adain_train_step(opt, donate=False)
-            for _ in range(3):
-                state, _ = step(state, vgg, content, style)
-            return float(sum(
-                jnp.sum(jnp.abs(a - b)) for a, b in zip(
-                    jax.tree.leaves(state.params), jax.tree.leaves(params0))))
+    def test_decay_scales_updates_by_step_position(self):
+        """The decay multiplies the applied updates: at step 0 it is a
+        no-op; at a late (e.g. restored) step the same update shrinks by
+        exactly the schedule factor — so resume lands at the right
+        position without touching the optimizer state structure."""
+        base = self._one_update_movement(lr_decay=0.0, start_step=0)
+        at0 = self._one_update_movement(lr_decay=1e-3, start_step=0)
+        late = self._one_update_movement(lr_decay=1e-3, start_step=10_000)
+        assert at0 == pytest.approx(base, rel=1e-5)
+        assert late == pytest.approx(base / 11.0, rel=1e-2)  # 1/(1+10)
 
-        assert total_movement(decay=10.0) < 0.6 * total_movement(decay=0.0)
+    def test_pre_decay_checkpoints_still_restore(self, tmp_path):
+        """The decay must NOT change the opt_state pytree (adam(callable)
+        would): a checkpoint written by the pre-decay trainer layout
+        restores into the current one."""
+        import optax
 
+        from fast_neural_style_transfer_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+        from fast_neural_style_transfer_tpu.train.state import create_train_state
 
+        params = AdaINDecoder.init(jax.random.PRNGKey(0))
+        old = create_train_state(params, optax.adam(1e-4))  # pre-decay layout
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(1, old)
+        mgr.wait()
+        # the current trainer builds its template exactly like this
+        # (train_adain: optax.adam(cfg.lr), decay applied to updates)
+        template = create_train_state(AdaINDecoder.init(jax.random.PRNGKey(1)),
+                                      optax.adam(1e-4))
+        restored = CheckpointManager(str(tmp_path / "ck")).restore(template)
+        assert int(restored.step) == int(old.step)
+        mgr.close()
