@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Bulk mode device batch size")
     s.add_argument("--data_parallel", action="store_true",
                    help="Bulk mode: shard batches over all chips' data axis")
+    s.add_argument("--skip_bad_images", action="store_true",
+                   help="Bulk mode: log and skip undecodable files instead "
+                        "of failing the whole job")
     s.add_argument("--style_image", required=True, nargs="+",
                    help="style image(s); several interpolate styles "
                         "(weights via --style_blend, default equal)")
@@ -251,8 +254,12 @@ def main(argv=None) -> None:
             batch_size=args.batch_size,
             precision=args.precision,
             data_parallel=args.data_parallel,
+            skip_bad_images=args.skip_bad_images,
         )
-        print(f"stylized {len(written)} images")
+        done = [w for w in written if w]
+        print(f"stylized {len(done)} images"
+              + (f" ({len(written) - len(done)} skipped)"
+                 if len(done) != len(written) else ""))
         return
 
     out_path = args.output or "adain_stylized.jpg"

@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard --content_dir batches over all chips "
                         "(params replicated)")
+    p.add_argument("--skip_bad_images", action="store_true",
+                   help="--content_dir jobs: log and skip undecodable files "
+                        "instead of failing the whole job")
     p.add_argument("--model_path", type=str, default="model_weights",
                    help="Model weights: .npz, Orbax checkpoint dir, or reference .pth")
     p.add_argument("--output_name", type=str, default="stylized_output.jpg",
@@ -83,8 +86,12 @@ def main(argv=None) -> None:
             precision=args.precision,
             data_parallel=args.data_parallel,
             style=style,
+            skip_bad_images=args.skip_bad_images,
         )
-        print(f"saved {len(written)} stylized images to {args.output_dir}")
+        done = [w for w in written if w]
+        print(f"saved {len(done)} stylized images to {args.output_dir}"
+              + (f" ({len(written) - len(done)} skipped)"
+                 if len(done) != len(written) else ""))
         return
     if args.spatial > 1:
         if args.precision == "int8":

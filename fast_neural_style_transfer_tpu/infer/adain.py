@@ -154,6 +154,7 @@ def stylize_directory_arbitrary(
     precision: str = "f32",
     num_workers: int = 8,
     data_parallel: bool = False,
+    skip_bad_images: bool = False,
 ) -> list:
     """Stylize every image under ``content_dir`` with one arbitrary style
     (or an interpolated set): the AdaIN counterpart of
@@ -186,4 +187,5 @@ def stylize_directory_arbitrary(
         lambda b: styler.stylize_u8(b, alpha=alpha),
         files, content_dir, output_dir,
         size=size, batch_size=batch_size, num_workers=num_workers,
+        skip_bad_images=skip_bad_images,
     )

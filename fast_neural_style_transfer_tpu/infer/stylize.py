@@ -265,6 +265,7 @@ def stylize_directory(
     num_workers: int = 8,
     data_parallel: bool = False,
     style=None,
+    skip_bad_images: bool = False,
 ) -> list:
     """Stylize every image under ``content_dir`` into ``output_dir``.
 
@@ -300,6 +301,7 @@ def stylize_directory(
     return pipeline_directory(
         stylizer.stylize_u8, files, content_dir, output_dir,
         size=size, batch_size=batch_size, num_workers=num_workers,
+        skip_bad_images=skip_bad_images,
     )
 
 
@@ -312,12 +314,18 @@ def pipeline_directory(
     size: Optional[Tuple[int, int]] = None,
     batch_size: int = 16,
     num_workers: int = 8,
+    skip_bad_images: bool = False,
 ) -> list:
     """The bulk-job engine shared by every model family: decode / device-run
     / JPEG-encode software pipeline over ``files``, with shape-bucket
     grouping and wrap-padded final chunks. ``fwd_u8`` maps a uint8 NHWC
     batch to a stylized uint8 batch (e.g. ``Stylizer.stylize_u8`` or the
-    AdaIN ``ArbitraryStylizer.stylize_u8``)."""
+    AdaIN ``ArbitraryStylizer.stylize_u8``).
+
+    ``skip_bad_images``: a corrupt file normally fails the whole job
+    (default — surfacing errors beats silently dropping work); with True it
+    is logged and skipped so one bad JPEG cannot kill a 100k-image run. The
+    returned list keeps a ``None`` at each skipped input's position."""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
@@ -342,8 +350,14 @@ def pipeline_directory(
         groups[tuple(size)] = list(range(len(files)))
     else:
         for i, f in enumerate(files):
-            with Image.open(f) as im:
-                w, h = im.size
+            try:
+                with Image.open(f) as im:
+                    w, h = im.size
+            except Exception as e:
+                if not skip_bad_images:
+                    raise
+                print(f"skipping unreadable {f}: {e!r}", flush=True)
+                continue
             groups.setdefault((h, w), []).append(i)
 
     # one output path per input, collision-free: mirror the relative path
@@ -373,15 +387,28 @@ def pipeline_directory(
 
     written = [None] * len(files)
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        def try_dec(i):
+            try:
+                return i, dec(files[i])
+            except Exception as e:
+                if not skip_bad_images:
+                    raise
+                print(f"skipping undecodable {files[i]}: {e!r}", flush=True)
+                return i, None
+
         def prep(chunk):
-            imgs = dict(zip(chunk, pool.map(dec, [files[i] for i in chunk])))
+            results = list(pool.map(try_dec, chunk))
+            kept = [i for i, u8 in results if u8 is not None]
+            if not kept:
+                return kept, None
+            imgs = dict(results)
             # wrap-pad short chunks to a full batch: one compiled program
             # per shape bucket, and the leading dim always divides the
             # data axis under data_parallel
-            fill = chunk + chunk[: batch_size - len(chunk)]
+            fill = kept + kept[: batch_size - len(kept)]
             while len(fill) < batch_size:
-                fill = fill + chunk[: batch_size - len(fill)]
-            return np.stack([imgs[i] for i in fill])
+                fill = fill + kept[: batch_size - len(fill)]
+            return kept, np.stack([imgs[i] for i in fill])
 
         def save_one(i, out):
             path = out_paths[i]
@@ -392,12 +419,14 @@ def pipeline_directory(
         save_futures = []
         next_batch = pool.submit(prep, all_chunks[0]) if all_chunks else None
         for n, chunk in enumerate(all_chunks):
-            batch = next_batch.result()
+            kept, batch = next_batch.result()
             if n + 1 < len(all_chunks):
                 next_batch = pool.submit(prep, all_chunks[n + 1])
-            outs = fwd_u8(batch)[: len(chunk)]
+            if batch is None:  # whole chunk skipped as undecodable
+                continue
+            outs = fwd_u8(batch)[: len(kept)]
             save_futures.extend(
-                pool.submit(save_one, i, out) for i, out in zip(chunk, outs)
+                pool.submit(save_one, i, out) for i, out in zip(kept, outs)
             )
             while len(save_futures) > 2 * batch_size:
                 save_futures.pop(0).result()  # bound memory + surface errors

@@ -364,3 +364,35 @@ def test_stylize_directory_data_parallel(tmp_path):
     outs = stylize_directory(model, str(src), str(tmp_path / "out"),
                              batch_size=8, data_parallel=True)
     assert len(outs) == 5 and all(o is not None for o in outs)
+
+
+def test_directory_skip_bad_images(tmp_path):
+    """skip_bad_images: corrupt files are logged and skipped (None in the
+    returned list); default behavior still raises."""
+    import os
+
+    import pytest
+
+    from fast_neural_style_transfer_tpu.infer import stylize_directory
+
+    rng = np.random.default_rng(0)
+    content = tmp_path / "content"
+    content.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                        ).save(content / f"ok{i}.jpg")
+    (content / "corrupt.jpg").write_bytes(b"\xff\xd8 not a real jpeg")
+    model = str(tmp_path / "m.npz")
+    save_params_npz(TransformerNet.init(jax.random.PRNGKey(0)), model)
+
+    with pytest.raises(Exception):
+        stylize_directory(model, str(content), str(tmp_path / "out_fail"),
+                          size=(24, 24), batch_size=2)
+
+    written = stylize_directory(model, str(content), str(tmp_path / "out"),
+                                size=(24, 24), batch_size=2,
+                                skip_bad_images=True)
+    done = [w for w in written if w]
+    assert len(written) == 4 and len(done) == 3
+    assert all(os.path.exists(w) for w in done)
+    assert not any(w and "corrupt" in w for w in written)
