@@ -72,6 +72,29 @@ _WORKER = textwrap.dedent(
     loss = float(metrics["loss"])
     assert np.isfinite(loss) and int(state.step) == 1
     print(f"rank {rank}: pipeline+train OK loss={loss:.6f}", flush=True)
+
+    # AdaIN decoder DP step across BOTH processes (second model family):
+    # each rank assembles its local slice of the same seeded global uint8
+    # batches; the decoder grads psum over the cross-process data axis
+    import optax
+    from fast_neural_style_transfer_tpu.models.adain import AdaINDecoder
+    from fast_neural_style_transfer_tpu.train.adain import make_adain_train_step
+
+    gc = np.random.default_rng(9).integers(0, 256, (4, 16, 16, 3)).astype(np.uint8)
+    gs = np.random.default_rng(10).integers(0, 256, (4, 16, 16, 3)).astype(np.uint8)
+    local_rows = slice(rank * 2, rank * 2 + 2)
+    c_arr = jax.make_array_from_process_local_data(
+        plan.batch_sharding, gc[local_rows])
+    s_arr = jax.make_array_from_process_local_data(
+        plan.batch_sharding, gs[local_rows])
+    ad_opt = optax.adam(1e-4)
+    ad_state = replicate_state(
+        create_train_state(AdaINDecoder.init(key), ad_opt), plan.replicated)
+    ad_step = make_adain_train_step(ad_opt, donate=False, lr_decay=5e-5)
+    ad_state, ad_metrics = ad_step(ad_state, vgg, c_arr, s_arr)
+    ad_loss = float(ad_metrics["loss"])
+    assert np.isfinite(ad_loss) and int(ad_state.step) == 1
+    print(f"rank {rank}: adain DP OK loss={ad_loss:.6f}", flush=True)
     """
 )
 
@@ -116,3 +139,6 @@ def test_two_process_pipeline_and_train_step(tmp_path):
     losses = [l.split("loss=")[1].strip() for o in outs for l in o.splitlines()
               if "pipeline+train OK" in l]
     assert len(losses) == 2 and losses[0] == losses[1], losses
+    ad = [l.split("loss=")[1].strip() for o in outs for l in o.splitlines()
+          if "adain DP OK" in l]
+    assert len(ad) == 2 and ad[0] == ad[1], ad
