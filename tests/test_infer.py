@@ -396,3 +396,26 @@ def test_directory_skip_bad_images(tmp_path):
     assert len(written) == 4 and len(done) == 3
     assert all(os.path.exists(w) for w in done)
     assert not any(w and "corrupt" in w for w in written)
+
+
+def test_directory_skip_bad_images_grouping_path(tmp_path):
+    """Without a fixed --size the engine reads headers to group shapes; a
+    corrupt file must be skipped there too (before any decode)."""
+    import os
+
+    from fast_neural_style_transfer_tpu.infer import stylize_directory
+
+    rng = np.random.default_rng(1)
+    content = tmp_path / "content"
+    content.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                        ).save(content / f"ok{i}.jpg")
+    (content / "broken.jpg").write_bytes(b"not an image at all")
+    model = str(tmp_path / "m.npz")
+    save_params_npz(TransformerNet.init(jax.random.PRNGKey(0)), model)
+
+    written = stylize_directory(model, str(content), str(tmp_path / "out"),
+                                batch_size=2, skip_bad_images=True)
+    done = [w for w in written if w]
+    assert len(written) == 3 and len(done) == 2
