@@ -419,3 +419,27 @@ def test_directory_skip_bad_images_grouping_path(tmp_path):
                                 batch_size=2, skip_bad_images=True)
     done = [w for w in written if w]
     assert len(written) == 3 and len(done) == 2
+
+
+def test_cli_bulk_skip_bad_images(tmp_path):
+    """--skip_bad_images on the inference CLI: bulk job completes and
+    reports the skip count."""
+    import os
+
+    from fast_neural_style_transfer_tpu.cli.begin_inference import main
+
+    rng = np.random.default_rng(2)
+    content = tmp_path / "content"
+    content.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                        ).save(content / f"ok{i}.jpg")
+    (content / "bad.jpg").write_bytes(b"nope")
+    model = str(tmp_path / "m.npz")
+    save_params_npz(TransformerNet.init(jax.random.PRNGKey(0)), model)
+
+    main(["--content_dir", str(content), "--model_path", model,
+          "--output_dir", str(tmp_path / "out"), "--size", "24", "24",
+          "--batch_size", "2", "--skip_bad_images"])
+    outs = os.listdir(tmp_path / "out")
+    assert len(outs) == 2 and not any("bad" in o for o in outs)
