@@ -71,4 +71,19 @@ big = rng.standard_normal((1, 512, 256, 3)).astype(np.float32)
 out_sp = np.asarray(stylize_spatial(params, big, sp_plan))
 print(f"4. spatial (H over 4 shards): {big.shape} -> {out_sp.shape}")
 
+# 5. arbitrary-style serving (AdaIN family): encode the style ONCE, then
+#    stream u8 batches, data-parallel over the same mesh; alpha is a traced
+#    operand so strength changes reuse the compiled program
+from fast_neural_style_transfer_tpu.infer import ArbitraryStylizer
+from fast_neural_style_transfer_tpu.models import AdaINDecoder
+from fast_neural_style_transfer_tpu.models.vgg_weights import resolve_params
+
+styler = ArbitraryStylizer(
+    AdaINDecoder.init(jax.random.PRNGKey(1)), resolve_params(None),
+    sharding=plan.batch_sharding,
+).set_style_u8(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+ad_out = styler.stylize_u8(batch[:, :64, :64], alpha=0.8)
+print(f"5. arbitrary-style DP serving: {batch[:, :64, :64].shape} -> "
+      f"{ad_out.shape} (style cached, one VGG encode per frame)")
+
 print(f"outputs under {out_dir}")
