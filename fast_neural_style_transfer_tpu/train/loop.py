@@ -141,13 +141,16 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         flush=True,
     )
     per_chip = cfg.batch_size // max(plan.num_data_shards, 1)
-    if plan.mesh.devices.flat[0].platform == "tpu" and per_chip % 8:
+    if per_chip % 8:
+        # the reference default (config.py:4 BATCH_SIZE=20) is a hostile
+        # shape on TPU — warn whatever backend we're on, since configs are
+        # usually authored on CPU dev boxes and deployed to chips
         print(
-            f"note: per-chip batch {per_chip} is not a multiple of 8; XLA's "
-            "(batch, channel)-tiled conv layouts pad it up and the step "
-            "computes on the pad (measured: b24 costs only ~4% more wall "
-            "time than b20 — DESIGN.md §8). Prefer batch multiples of "
-            "8/chip, ideally >=64/chip, for throughput.",
+            f"note: per-chip batch {per_chip} is not a multiple of 8; on TPU, "
+            "XLA's (batch, channel)-tiled conv layouts pad it up and the step "
+            "computes on the pad (measured on v5e: b20 pads to 24 — b24 is "
+            "+3.6% wall for +20% images; DESIGN.md §8). Prefer batch "
+            "multiples of 8/chip, ideally >=64/chip, for throughput.",
             flush=True,
         )
 

@@ -31,6 +31,7 @@ def workspace(tmp_path):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_tiny_training_run_end_to_end(workspace):
     out_dir = str(workspace / "out")
     cfg = TrainConfig(
@@ -78,6 +79,7 @@ def test_tiny_training_run_end_to_end(workspace):
     assert records[-1]["step"] == 6
 
 
+@pytest.mark.slow
 def test_resume_uses_checkpoint_label_not_state_step(workspace):
     """Non-finite skipped iterations advance the loop counter (and hence the
     checkpoint label) but not state.step. A resume that restarted the loop at
@@ -137,6 +139,7 @@ def test_resume_uses_checkpoint_label_not_state_step(workspace):
     assert records[-1]["step"] == 6
 
 
+@pytest.mark.slow
 def test_num_epochs_bounds_training(workspace):
     """--num_epochs is wired (VERDICT r1 #10): an epochs-bounded run stops at
     epochs * steps_per_epoch even when total_steps is larger."""
@@ -159,6 +162,33 @@ def test_num_epochs_bounds_training(workspace):
         train_style_transfer(cfg)
     records = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
     assert records[-1]["step"] == 2
+
+
+@pytest.mark.slow
+def test_hostile_batch_shape_warns(workspace, capsys):
+    """Per-chip batches that are not a multiple of 8 pad up in XLA's
+    (batch, channel)-tiled conv layouts (the reference's own b20 default,
+    /root/reference/config.py:4, pads to 24 on v5e — DESIGN.md §8); the loop
+    must say so up front. On the 8-device test mesh batch 8 -> per-chip 1."""
+    out_dir = str(workspace / "hostile_out")
+    cfg = TrainConfig(
+        style_image=str(workspace / "style.jpg"),
+        dataset_dir=str(workspace / "data"),
+        output_dir=out_dir,
+        total_steps=1,
+        batch_size=8,
+        image_size=(32, 32),
+        log_every=1,
+        monitor_every=1000,
+        checkpoint_every=1000,
+        num_workers=1,
+        resume=False,
+    )
+    with pytest.warns(UserWarning, match="VGG19"):
+        train_style_transfer(cfg)
+    captured = capsys.readouterr().out
+    assert "not a multiple of 8" in captured
+    assert "DESIGN.md" in captured
 
 
 def test_training_rejects_non_multiple_of_4_image_size(tmp_path):
@@ -208,6 +238,7 @@ def test_cli_parsers_flag_parity():
     assert args.model_path == "m.npz"
 
 
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_exits_cleanly(workspace):
     """Preemption drill: SIGTERM mid-training must stop the loop, persist a
     checkpoint, and exit 0 (SURVEY.md §5.3 preemption safety)."""

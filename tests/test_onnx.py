@@ -72,6 +72,22 @@ def test_onnx_forward_parity_with_native_model():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_onnxruntime_executor_parity():
+    """Independent-executor parity: the reference's artifact runs under
+    onnxruntime (/root/reference/onnx_version/onnx_inference.py:32-35), so
+    ours must too wherever that wheel exists. Env-gated: this image has no
+    network and no cached wheel (attempt recorded in PARITY.md), but the
+    test is live the moment one appears."""
+    ort = pytest.importorskip("onnxruntime")
+    params = _params()
+    data = build_onnx_model(params, input_shape=(1, 3, 32, 32))
+    sess = ort.InferenceSession(data, providers=["CPUExecutionProvider"])
+    x = np.random.default_rng(0).normal(size=(1, 3, 32, 32)).astype(np.float32)
+    (got,) = sess.run(None, {INPUT_NAME: x})
+    (want,) = run_model(data, {INPUT_NAME: x})
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_onnx_stylize_file_end_to_end(tmp_path):
     model_path = str(tmp_path / "model.onnx")
     export_onnx(_params(), model_path)
