@@ -25,6 +25,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from fast_neural_style_transfer_tpu.core.dtypes import Precision
+from fast_neural_style_transfer_tpu.core.shapes import pad_to_multiple_reflect
 from fast_neural_style_transfer_tpu.models.adain import (
     ENCODE_TAP,
     _DECODER_CFG,
@@ -43,13 +44,27 @@ _FWD_CACHE: dict = {}
 
 
 def channel_stats_sharded(x: jnp.ndarray, *, eps: float = 1e-5,
-                          axis: str = AXIS):
+                          axis: str = AXIS, extent=None):
     """Global per-(b, c) mean/std of an H-sharded map — the exact sharded
-    mirror of ``models.adain.channel_stats`` (f32, biased variance)."""
+    mirror of ``models.adain.channel_stats`` (f32, biased variance).
+
+    ``extent`` (traced scalar OK): global active H; rows >= extent are
+    excluded from both moments (they must already be zero — the masked VGG
+    walk guarantees it — so only the centered pass needs the mask and the
+    count shrinks to extent * W)."""
     xf = x.astype(jnp.float32)
-    count = x.shape[1] * x.shape[2] * lax.axis_size(axis)
+    if extent is None:
+        count = x.shape[1] * x.shape[2] * lax.axis_size(axis)
+        mean = lax.psum(jnp.sum(xf, axis=(1, 2), keepdims=True), axis) / count
+        xc = xf - mean
+        var = lax.psum(jnp.sum(xc * xc, axis=(1, 2), keepdims=True),
+                       axis) / count
+        return mean, jnp.sqrt(var + eps)
+    keep = (sh.global_row_index(x.shape[1], axis) < extent)
+    keep = keep[None, :, None, None].astype(jnp.float32)
+    count = extent.astype(jnp.float32) * x.shape[2]
     mean = lax.psum(jnp.sum(xf, axis=(1, 2), keepdims=True), axis) / count
-    xc = xf - mean
+    xc = (xf - mean) * keep
     var = lax.psum(jnp.sum(xc * xc, axis=(1, 2), keepdims=True), axis) / count
     return mean, jnp.sqrt(var + eps)
 
@@ -60,16 +75,34 @@ def adain_decoder_forward_sharded(
     *,
     precision: Precision = Precision.f32(),
     axis: str = AXIS,
+    extent=None,
 ) -> jnp.ndarray:
     """H-sharded mirror of ``AdaINDecoder.apply``: reflect convs exchange
     their 1-row halos; nearest-x2 upsampling is a purely local row repeat
     (each output row depends on exactly one input row, so shard boundaries
-    map cleanly)."""
+    map cleanly).
+
+    ``extent`` (traced scalar OK): global active H of ``feat``. When set,
+    each conv first writes row ``extent-2`` into row ``extent`` — exactly
+    the one virtual row the unsharded reflect pad would supply at an array
+    that ENDS at ``extent`` — so rows < extent match the single-device
+    decoder on the extent-tall input bit-for-bit. Rows beyond carry junk
+    that influences nothing below the extent (a 3x3 conv reads one row past
+    it, and that row is re-pinned before every conv); the caller crops them.
+    When ``extent`` equals the global H the row write is a no-op and the
+    global reflect edge in ``halo_extend`` takes over. Upsampling doubles
+    the extent. Costs one (B, 1, W, C) psum per conv — noise next to the
+    conv itself."""
     x = feat.astype(precision.compute_dtype)
     last = len(_DECODER_CFG) - 1
     for i, (p, (_, up)) in enumerate(zip(params["convs"], _DECODER_CFG)):
         if up:
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            if extent is not None:
+                extent = extent * 2
+        if extent is not None:
+            edge = sh.fetch_global_row(x, extent - 2, axis=axis)
+            x = sh.set_global_row(x, extent, edge, axis=axis)
         w = p["w"].astype(precision.compute_dtype)
         b = p["b"].astype(jnp.float32)
         x = sh.reflect_conv2d_sharded(x, w, b, stride=1, axis=axis)
@@ -84,10 +117,19 @@ def make_spatial_adain_forward(plan: MeshPlan, *,
     """Jitted H-sharded AdaIN forward over ``plan``'s 'space' axis.
 
     Signature: ``fwd(decoder_params, vgg_params, content, mu_s, sigma_s,
-    alpha) -> image``; content NHWC with H divisible by 8 * n_shards and at
-    least 16 rows per shard (VGG's three pools leave >= 2 feature rows, the
-    reflect-halo minimum); (mu_s, sigma_s) are (B_or_1, 1, 1, 512) style
-    moments; alpha a scalar (traced — no recompile per strength)."""
+    alpha, active_h) -> image``; content NHWC with H divisible by 8 *
+    n_shards and at least 16 rows per shard (VGG's three pools leave >= 2
+    feature rows, the reflect-halo minimum); (mu_s, sigma_s) are
+    (B_or_1, 1, 1, 512) style moments; alpha a scalar and active_h an int32
+    scalar (both traced — no recompile per strength or per true height).
+
+    ``active_h``: the true (multiple-of-8, >= 16) image height; rows beyond
+    it must be ZERO on input. The whole pipeline then computes rows <
+    active_h exactly as the single-device path does on an active_h-tall
+    image: the VGG walk re-zeroes dead rows after each conv, the AdaIN
+    moments mask them out of the psums, and each decoder reflect conv pins
+    the one virtual boundary row. Pass the full padded H for the aligned
+    case — every mask degenerates to a no-op."""
     if AXIS not in plan.mesh.axis_names:
         raise ValueError(
             "mesh has no 'space' axis; build with make_mesh_plan(spatial=N)")
@@ -96,20 +138,23 @@ def make_spatial_adain_forward(plan: MeshPlan, *,
     if cached is not None:
         return cached
 
-    def fwd(dec_params, vgg_params, content, mu_s, sigma_s, alpha):
+    def fwd(dec_params, vgg_params, content, mu_s, sigma_s, alpha, active_h):
         (c_feat,) = vgg_features_sharded(
-            vgg_params, content, (ENCODE_TAP,), precision=precision, axis=AXIS)
-        mu_c, sigma_c = channel_stats_sharded(c_feat, axis=AXIS)
+            vgg_params, content, (ENCODE_TAP,), precision=precision,
+            axis=AXIS, extent=active_h)
+        e_f = active_h // 8  # three pools down to the relu4_1 scale
+        mu_c, sigma_c = channel_stats_sharded(c_feat, axis=AXIS, extent=e_f)
         cf = c_feat.astype(jnp.float32)
         t = sigma_s * (cf - mu_c) / sigma_c + mu_s
         t = alpha * t + (1.0 - alpha) * cf
         return adain_decoder_forward_sharded(
-            dec_params, t.astype(c_feat.dtype), precision=precision, axis=AXIS)
+            dec_params, t.astype(c_feat.dtype), precision=precision,
+            axis=AXIS, extent=e_f)
 
     mapped = shard_map_checked(
         fwd,
         plan.mesh,
-        in_specs=(P(), P(), P(None, AXIS, None, None), P(), P(), P()),
+        in_specs=(P(), P(), P(None, AXIS, None, None), P(), P(), P(), P()),
         out_specs=P(None, AXIS, None, None),
         check=False,
     )
@@ -131,38 +176,41 @@ def stylize_arbitrary_spatial(
 ) -> jnp.ndarray:
     """``models.adain.stylize_arbitrary`` with content H sharded over chips.
 
-    Pads content H (reflect; edge for tiny images) up to a multiple of
-    8 * n_shards and at least 16 rows per shard, W to a multiple of 8, and
-    crops the output back. Style image(s) are encoded unsharded; a list
-    interpolates styles exactly as the single-chip path does.
-
-    Exactness caveat: output is bit-comparable to the single-device path
-    only when H already satisfies the shard constraint. Otherwise this path
-    pads MORE rows than the single-device route (multiple of 8*n_shards vs
-    of 8), and because the AdaIN moments are global, the extra reflected
-    rows shift mu_c/sigma_c slightly — same class of pad influence as the
-    single-device route's own 8-multiple pad, just a larger extent. Shard
-    counts should stay small relative to H/16 for large images (the
-    intended use), where the effect vanishes.
+    Matches the single-device route (reflect-pad to a multiple of 8, run,
+    crop back) to f32 tolerance at ANY size, shard-aligned or not. Two-stage
+    padding makes that possible: stage 1 is the exact canonical pad the
+    single-device path applies (``pad_to_multiple_reflect(x, 8)``, edge mode
+    for tiny images, minimum 16 rows); stage 2 zero-fills from there up to
+    the equal-slab height (multiple of 8 * n_shards, >= 16 rows per shard),
+    and the forward masks those dead rows out of every conv, the AdaIN
+    moments, and the decoder's reflect boundaries (see
+    ``make_spatial_adain_forward``). Style image(s) are encoded unsharded; a
+    list interpolates styles exactly as the single-chip path does.
     """
     n_shards = plan.mesh.shape[AXIS]
     # style moments, unsharded (styles are small relative to the content)
     mu_s, sigma_s = blended_style_stats(vgg_params, style, style_weights,
                                         precision=precision)
 
-    mult = 8 * n_shards
     n, h, w_, c = content.shape
-    target_h = max(-(-h // mult) * mult, 16 * n_shards)
-    ph = target_h - h
-    pw = -w_ % 8
-    x = content
-    if ph or pw:
-        mode = "reflect" if (ph < h and pw < w_) else "edge"
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+    # stage 1: the single-device path's own canonical pad — byte-for-byte
+    x, _ = pad_to_multiple_reflect(content, 8)
+    if x.shape[1] < 16:
+        # both routes need >= 2 relu4_1 feature rows for the decoder's
+        # reflect pad; the single-device route cannot run below this either
+        x = jnp.pad(x, ((0, 0), (0, 16 - x.shape[1]), (0, 0), (0, 0)),
+                    mode="edge")
+    h8 = x.shape[1]
+    # stage 2: zero rows up to the equal-slab height; the forward's
+    # active-extent masks keep them out of the math entirely
+    mult = 8 * n_shards
+    target_h = max(-(-h8 // mult) * mult, 16 * n_shards)
+    if target_h > h8:
+        x = jnp.pad(x, ((0, 0), (0, target_h - h8), (0, 0), (0, 0)))
     fwd = make_spatial_adain_forward(plan, precision=precision)
     out = fwd(decoder_params, vgg_params, x, mu_s, sigma_s,
-              jnp.asarray(alpha, jnp.float32))
-    if ph or pw:
+              jnp.asarray(alpha, jnp.float32), jnp.asarray(h8, jnp.int32))
+    if (target_h, x.shape[2]) != (h, w_):
         # crop host-side: slicing a sharded dim to a non-divisible extent is
         # not expressible as a sharded op
         return jnp.asarray(jax.device_get(out)[:, :h, :w_, :])

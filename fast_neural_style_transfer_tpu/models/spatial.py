@@ -77,14 +77,43 @@ def vgg_features_sharded(
     *,
     precision: Precision = Precision.f32(),
     axis: str = sh.AXIS,
+    extent=None,
 ) -> List[jnp.ndarray]:
     """H-sharded mirror of VGG19Features.apply: the same ``tap_walk`` with
-    halo-exchanging conv/pool primitives (models/vgg.py owns the walk)."""
+    halo-exchanging conv/pool primitives (models/vgg.py owns the walk).
+
+    ``extent`` (optional, traced scalar OK): global active H at input scale.
+    When set, rows >= extent are zeroed after every conv, which makes rows
+    < extent bit-equal to an unsharded forward on an input of exactly
+    ``extent`` rows — zero-SAME convs see implicit zeros past the true
+    boundary either way — provided the caller zero-pads the input beyond
+    ``extent``. Pools halve the extent (it must stay even at each of the
+    three pools: extent % 8 == 0). Used by infer/spatial_adain.py to match
+    the single-device path at heights not divisible by the shard count."""
+    if extent is None:
+        conv_fn = lambda p, h: sh.conv2d_same_sharded(  # noqa: E731
+            h, p["w"], p["b"], axis=axis)
+        pool_fn = sh.max_pool2d_sharded
+    else:
+        state = {"e": extent}
+
+        def conv_fn(p, h):
+            out = sh.conv2d_same_sharded(h, p["w"], p["b"], axis=axis)
+            # re-zero the dead rows: the conv's bias (then relu) would
+            # otherwise resurrect them and leak into the next layer's
+            # boundary rows
+            return sh.mask_rows_from(out, state["e"], axis=axis)
+
+        def pool_fn(h):
+            out = sh.max_pool2d_sharded(h)
+            state["e"] = state["e"] // 2
+            return out
+
     return tap_walk(
         params,
         x,
         taps,
-        conv_fn=lambda p, h: sh.conv2d_same_sharded(h, p["w"], p["b"], axis=axis),
-        pool_fn=sh.max_pool2d_sharded,
+        conv_fn=conv_fn,
+        pool_fn=pool_fn,
         compute_dtype=precision.compute_dtype,
     )

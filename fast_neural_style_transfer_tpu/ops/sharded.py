@@ -66,6 +66,42 @@ def halo_extend(x: jnp.ndarray, p: int, *, mode: str, axis: str = AXIS) -> jnp.n
     return jnp.concatenate([top, x, bot], axis=1)
 
 
+def global_row_index(local_h: int, axis: str = AXIS) -> jnp.ndarray:
+    """(local_h,) int32 vector of each local row's GLOBAL H index."""
+    return lax.axis_index(axis) * local_h + jnp.arange(local_h, dtype=jnp.int32)
+
+
+def mask_rows_from(x: jnp.ndarray, extent, axis: str = AXIS) -> jnp.ndarray:
+    """Zero every row whose global H index is >= ``extent`` (traced scalar OK).
+
+    The active-extent tool: emulates an array that ends at row ``extent``
+    inside a larger equal-slab sharded array, so shard_map programs can
+    match an unsharded computation whose H is not divisible by the shard
+    count (infer/spatial_adain.py). Zero comm."""
+    keep = (global_row_index(x.shape[1], axis) < extent)[None, :, None, None]
+    return jnp.where(keep, x, jnp.zeros((), x.dtype))
+
+
+def fetch_global_row(x: jnp.ndarray, i, axis: str = AXIS) -> jnp.ndarray:
+    """Global row ``i`` (traced scalar OK) of an H-sharded NHWC map, as a
+    replicated (B, 1, W, C) — a one-hot masked sum + psum, so the owning
+    shard needs no static identity. O(one row) of ICI traffic."""
+    sel = (global_row_index(x.shape[1], axis) == i)[None, :, None, None]
+    return lax.psum(
+        jnp.sum(jnp.where(sel, x, jnp.zeros((), x.dtype)), axis=1,
+                keepdims=True),
+        axis,
+    )
+
+
+def set_global_row(x: jnp.ndarray, i, value: jnp.ndarray,
+                   axis: str = AXIS) -> jnp.ndarray:
+    """Write replicated (B, 1, W, C) ``value`` into global row ``i`` (traced
+    scalar OK); rows outside [0, H_global) are a no-op. Zero comm."""
+    put = (global_row_index(x.shape[1], axis) == i)[None, :, None, None]
+    return jnp.where(put, value.astype(x.dtype), x)
+
+
 def _conv_valid(x, w, stride):
     from fast_neural_style_transfer_tpu.ops.conv import _conv
 
