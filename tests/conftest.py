@@ -22,6 +22,28 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (full ~20 min suite; the default "
+        "fast tier finishes in <5 min)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: `pytest tests/` runs the fast tier (<5 min); the ~20
+    heavy end-to-end tests (>=6 s each, ~15 min total) need `--runslow`.
+    Skipped-not-deselected so an explicitly named slow test says why."""
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -1,5 +1,6 @@
 """Inference tests: bucketing, arbitrary resolution, file-in/file-out CLI path."""
 
+import pytest
 import numpy as np
 from PIL import Image
 
@@ -266,6 +267,7 @@ def test_stylizer_from_grad_accum_orbax_checkpoint(tmp_path):
     np.testing.assert_allclose(s(x), Stylizer(params)(x), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_quantized_forward_agrees_with_f32():
     """int8 quantized inference must track the f32 forward closely even on
     a random-weight (worst-case, chaotic) network; instance norm after
@@ -289,6 +291,7 @@ def test_int8_quantized_forward_agrees_with_f32():
     assert rel < 0.15 and corr > 0.98, (rel, corr)
 
 
+@pytest.mark.slow
 def test_int8_stylizer_end_to_end():
     """precision='int8' drives the same Stylizer API (incl. the u8
     roundtrip and shape bucketing)."""
@@ -304,6 +307,7 @@ def test_int8_stylizer_end_to_end():
     assert np.abs(got.astype(int) - want.astype(int)).mean() < 12.0
 
 
+@pytest.mark.slow
 def test_int8_static_calibration_matches_dynamic():
     """Calibrated static scales track dynamic quantization on held-out
     input (scale transfer across batches)."""

@@ -14,6 +14,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end drives
+
 _WORKER = textwrap.dedent(
     """
     import os, sys

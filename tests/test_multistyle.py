@@ -180,6 +180,7 @@ class TestStyleLoss:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_multi_style_step_runs_and_descends(self):
         """2-style train step: loss finite, params update, and both styles'
         IN banks receive gradient signal over a few steps."""
@@ -217,6 +218,7 @@ class TestTrainStep:
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_multistyle_dp_matches_single_device(self):
         """Multi-style step over the 8-device data mesh == local math: the
         in-step style sampling and the (S, c, c) bank einsum must partition
@@ -292,6 +294,7 @@ class TestEndToEnd:
             ).save(tmp_path / name)
         return tmp_path
 
+    @pytest.mark.slow
     def test_two_style_training_and_inference(self, workspace):
         from fast_neural_style_transfer_tpu.infer import Stylizer
         from fast_neural_style_transfer_tpu.train import (
@@ -411,6 +414,7 @@ class TestEndToEnd:
 
 
 class TestComposition:
+    @pytest.mark.slow
     def test_int8_and_spatial_take_baked_styles(self, tmp_path):
         """Baking makes multi-style checkpoints compose with every
         downstream precision/sharding path — spot-check int8 (quantizes the

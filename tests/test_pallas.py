@@ -79,6 +79,7 @@ def test_fits_vmem_gate():
     assert not fits_vmem(512, 512, 256)  # big-image inference -> XLA path
 
 
+@pytest.mark.slow
 def test_transformer_forward_same_with_pallas_norms(rng):
     from fast_neural_style_transfer_tpu.models import TransformerNet
 

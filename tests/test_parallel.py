@@ -2,6 +2,7 @@
 xla_force_host_platform_device_count=8 — the multi-node stand-in per
 SURVEY.md §4)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -52,6 +53,7 @@ def _setup(batch, hw=32, total_steps=10):
     return state, vgg, batch_x, grams, step
 
 
+@pytest.mark.slow
 def test_dp_sharded_step_matches_single_device():
     """Gradient psum over the mesh must reproduce single-device math."""
     state, vgg, batch, grams, step = _setup(batch=8)
@@ -90,6 +92,7 @@ def test_graft_entry_single_chip():
     assert out.shape == (1, 256, 256, 3)
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__
 

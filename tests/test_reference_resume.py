@@ -136,6 +136,7 @@ def test_moments_step_and_schedule_restore(ref_checkpoint):
     assert sched_counts == [3]
 
 
+@pytest.mark.slow
 def test_post_resume_update_matches_torch_adam(ref_checkpoint):
     """One optax update after resume == one torch Adam step on the same
     gradients — proves every moment tensor sits in the slot the math reads."""

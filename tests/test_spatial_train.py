@@ -2,6 +2,7 @@
 full train step must reproduce the unsharded math exactly (virtual 8-device
 CPU mesh, 4-way 'space' axis)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -64,6 +65,7 @@ def test_sharded_vgg_matches_local():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_loss_matches_local():
     taps, vgg, params, batch, grams = _setup()
     plan = make_mesh_plan(spatial=4)
@@ -85,6 +87,7 @@ def test_spatial_loss_matches_local():
         assert np.isclose(float(got_m[k]), float(want_m[k]), rtol=1e-3), k
 
 
+@pytest.mark.slow
 def test_spatial_gradients_match_local():
     """Gradients from the H-sharded loss (shard_map with replication
     checking on, which inserts the cross-shard psum in the transpose) equal
@@ -127,6 +130,7 @@ def test_spatial_gradients_match_local():
         assert cos > 0.99999, cos
 
 
+@pytest.mark.slow
 def test_spatial_train_step_matches_local_step():
     """One full H-sharded train step == one unsharded step (loss identical;
     params equal up to Adam's amplification of reduction-order noise on
@@ -154,6 +158,7 @@ def test_spatial_train_step_matches_local_step():
     assert int(s2.step) == 1
 
 
+@pytest.mark.slow
 def test_spatial_step_trains_loss_down():
     taps, vgg, params, batch, grams = _setup()
     plan = make_mesh_plan(spatial=4)
@@ -173,6 +178,7 @@ def test_spatial_step_trains_loss_down():
     assert float(m["loss"]) < first
 
 
+@pytest.mark.slow
 def test_spatial_training_end_to_end(tmp_path):
     """train_style_transfer with spatial=8: full orchestration (pipeline,
     sharded step, checkpoint, final artifact) on the virtual mesh."""
@@ -221,6 +227,7 @@ def test_spatial_training_end_to_end(tmp_path):
         train_style_transfer(cfg_bad)
 
 
+@pytest.mark.slow
 def test_2d_mesh_data_x_spatial_step_matches_local():
     """Combined 2-D (data=2 x space=4) training: batch sharded over 'data',
     H over 'space'; one step must match the unsharded step."""
@@ -250,6 +257,7 @@ def test_2d_mesh_data_x_spatial_step_matches_local():
     )
 
 
+@pytest.mark.slow
 def test_2d_mesh_step_with_dropout_runs():
     taps, vgg, params, batch, grams = _setup()
     plan = make_mesh_plan(spatial=4)

@@ -73,6 +73,7 @@ def _tiny_setup(total_steps=50, batch=2, hw=32):
     return state, vgg, batch_x, grams, step, taps
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_loss_decreases():
     state, vgg, batch, grams, step, _ = _tiny_setup()
     rng = jax.random.PRNGKey(1)
@@ -137,6 +138,7 @@ def test_optimizer_matches_torch_adam_recipe():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_loss_fn_grads_flow_only_to_stylizer():
     state, vgg, batch, grams, _, taps = _tiny_setup()
     weights = LossWeightSchedule()(jnp.asarray(0))
@@ -178,6 +180,7 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_grad_accumulation_applies_every_k():
     """With grad_accum=k, params stay fixed for k-1 micro-steps, then one
     Adam update from the averaged gradients is applied."""
@@ -213,6 +216,7 @@ def _schedule_counts(opt_state):
 
 
 @pytest.mark.parametrize("k", [1, 4])
+@pytest.mark.slow
 def test_logged_lr_equals_applied_lr(k):
     """VERDICT r1 weak #2 regression: with grad_accum=k the metrics['lr'] must
     equal the LR the optimizer actually applies — same schedule horizon
@@ -248,6 +252,7 @@ def test_logged_lr_equals_applied_lr(k):
     assert _schedule_counts(state.opt_state) == [(2 * k + 1) // k]
 
 
+@pytest.mark.slow
 def test_training_determinism_same_seed():
     """Identical seeds and data give bit-identical params after N steps."""
     def run():
