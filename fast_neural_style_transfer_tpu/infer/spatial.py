@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from fast_neural_style_transfer_tpu.core.dtypes import Precision
+from fast_neural_style_transfer_tpu.core.shapes import pad_to_multiple_reflect
 from fast_neural_style_transfer_tpu.models.spatial import transformer_forward_sharded
 from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan, shard_map_checked
 
@@ -46,14 +47,15 @@ def make_spatial_forward(plan: MeshPlan, *, precision: Precision = Precision.f32
     if cached is not None:
         return cached
 
-    def fwd(params: Any, x: jnp.ndarray) -> jnp.ndarray:
+    def fwd(params: Any, x: jnp.ndarray, active_h) -> jnp.ndarray:
         return transformer_forward_sharded(
-            params, x, train=False, precision=precision, axis=AXIS)
+            params, x, train=False, precision=precision, axis=AXIS,
+            extent=active_h)
 
     mapped = shard_map_checked(
         fwd,
         plan.mesh,
-        in_specs=(P(), P(None, AXIS, None, None)),
+        in_specs=(P(), P(None, AXIS, None, None), P()),
         out_specs=P(None, AXIS, None, None),
         check=False,
     )
@@ -71,26 +73,31 @@ def stylize_spatial(
 ) -> jnp.ndarray:
     """Stylize an NHWC batch with H sharded across the 'space' axis.
 
-    Pads H (reflect; edge when the image is shorter than the pad) up to a
-    multiple of 4 * n_shards AND at least 8 rows per shard — the k9 encoder
-    conv's halo needs p+1 = 5 local rows, and 8 keeps every downstream
-    stride/halo constraint satisfied — then crops the output back.
+    Matches the single-device route — reflect-pad to a multiple of 4
+    (``TransformerNet.apply``'s constraint), run, crop — to f32 tolerance
+    at ANY size. Stage 1 applies that exact canonical pad (min 8 rows: the
+    k9 conv's reflect needs 5); stage 2 zero-fills up to the equal-slab
+    height (multiple of 4 * n_shards, >= 8 rows per shard for the k9 halo),
+    and the forward's active-extent machinery (models/spatial.py) pins
+    reflect boundary rows, masks the IN moments, and zeroes the transpose
+    convs' boundary row so the fill never exists mathematically.
     """
     n_shards = plan.mesh.shape[AXIS]
-    mult = 4 * n_shards
     n, h, w, c = image.shape
-    target_h = max(-(-h // mult) * mult, 8 * n_shards)
-    ph = target_h - h
-    pw = -w % 4
-    x = image
-    if ph or pw:
-        # jnp 'reflect' needs pad < dim; tiny images fall back to edge rows
-        # (the padded region is cropped away after the forward either way)
-        mode = "reflect" if (ph < h and pw < w) else "edge"
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+    # stage 1: the single-device route's canonical pad — byte-for-byte
+    x, _ = pad_to_multiple_reflect(image, 4)
+    if x.shape[1] < 8:
+        x = jnp.pad(x, ((0, 0), (0, 8 - x.shape[1]), (0, 0), (0, 0)),
+                    mode="edge")
+    h4 = x.shape[1]
+    # stage 2: zero rows up to the equal-slab height (masked out of the math)
+    mult = 4 * n_shards
+    target_h = max(-(-h4 // mult) * mult, 8 * n_shards)
+    if target_h > h4:
+        x = jnp.pad(x, ((0, 0), (0, target_h - h4), (0, 0), (0, 0)))
     fwd = make_spatial_forward(plan, precision=precision)
-    out = fwd(params, x)
-    if ph or pw:
+    out = fwd(params, x, jnp.asarray(h4, jnp.int32))
+    if (target_h, x.shape[2]) != (h, w):
         # crop host-side: slicing a sharded dim to a non-divisible extent is
         # not expressible as a sharded op
         return jnp.asarray(jax.device_get(out)[:, :h, :w, :])

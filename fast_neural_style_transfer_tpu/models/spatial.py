@@ -35,24 +35,57 @@ def transformer_forward_sharded(
     rng: Optional[jax.Array] = None,
     precision: Precision = Precision.f32(),
     axis: str = sh.AXIS,
+    extent=None,
 ) -> jnp.ndarray:
-    """H-sharded mirror of TransformerNet.apply (models/transformer.py)."""
+    """H-sharded mirror of TransformerNet.apply (models/transformer.py).
+
+    ``extent`` (optional, traced scalar OK): global active H at input scale
+    (multiple of 4). When set, rows < extent compute exactly as the
+    unsharded forward on an extent-tall input: reflect convs pin the
+    virtual boundary rows an unsharded reflect pad would supply, instance
+    norms mask dead rows out of their global moments, transpose convs zero
+    the one boundary row their padding expects, and extents track the
+    stride-2 downs and x2 ups. The pin counts come from which pad rows a
+    conv's ACTIVE outputs actually read: a k9 stride-1 conv reads all 4, a
+    k9 stride-2 conv reads 3 (its last active window starts 2 rows earlier),
+    and a k3 stride-2 conv reads none. Used by infer/spatial.py for
+    non-shard-aligned heights; None (training, aligned serving) is the
+    previous exact path, zero overhead."""
     in_dtype = x.dtype
     h = x.astype(precision.compute_dtype)
+    e = extent  # global active H at the CURRENT scale
 
     def conv(p, v, stride=1):
+        if e is not None:
+            pad = p["w"].shape[0] // 2
+            pin = pad if stride == 1 else pad - stride + 1
+            if pin > 0:
+                v = sh.pin_reflect_rows(v, e, pin, axis=axis)
         return sh.reflect_conv2d_sharded(v, p["w"], p["b"], stride=stride,
                                          axis=axis).astype(precision.compute_dtype)
 
     def up(p, v):
+        if e is not None:
+            # transpose-conv padding is zeros: the one input row past the
+            # extent that active outputs read must be zero, not slab junk
+            v = sh.set_global_row(v, e, jnp.zeros(
+                (v.shape[0], 1, v.shape[2], v.shape[3]), v.dtype), axis=axis)
         return sh.conv_transpose2d_sharded(v, p["w"], p["b"],
                                            axis=axis).astype(precision.compute_dtype)
 
     def inorm(v, p, relu):
-        return sh.instance_norm_sharded(v, p["gamma"], p["beta"], relu=relu, axis=axis)
+        return sh.instance_norm_sharded(v, p["gamma"], p["beta"], relu=relu,
+                                        axis=axis, extent=e)
 
-    h = inorm(conv(params["conv1"], h, 2), params["norm1"], True)
-    h = inorm(conv(params["conv2"], h, 2), params["norm2"], True)
+    # extent bookkeeping: pins happen inside conv/up at the INPUT scale, so
+    # `e` advances between the conv and its instance norm (whose mask needs
+    # the OUTPUT scale)
+    h = conv(params["conv1"], h, 2)
+    e = None if e is None else e // 2
+    h = inorm(h, params["norm1"], True)
+    h = conv(params["conv2"], h, 2)
+    e = None if e is None else e // 2
+    h = inorm(h, params["norm2"], True)
     use_dropout = train and rng is not None
     if use_dropout:
         drop_keys = jax.random.split(rng, NUM_RES_BLOCKS)
@@ -65,8 +98,12 @@ def transformer_forward_sharded(
             y = jnp.where(keep, y / (1.0 - DROPOUT_RATE), 0.0).astype(y.dtype)
         y = inorm(conv(rb["conv2"], y), rb["in2"], False)
         h = h + y
-    h = inorm(up(params["up1"], h), params["norm3"], True)
-    h = inorm(up(params["up2"], h), params["norm4"], True)
+    h = up(params["up1"], h)
+    e = None if e is None else e * 2
+    h = inorm(h, params["norm3"], True)
+    h = up(params["up2"], h)
+    e = None if e is None else e * 2
+    h = inorm(h, params["norm4"], True)
     return conv(params["final_conv"], h).astype(in_dtype)
 
 

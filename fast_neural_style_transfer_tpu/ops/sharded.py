@@ -102,6 +102,23 @@ def set_global_row(x: jnp.ndarray, i, value: jnp.ndarray,
     return jnp.where(put, value.astype(x.dtype), x)
 
 
+def pin_reflect_rows(x: jnp.ndarray, extent, pad: int,
+                     axis: str = AXIS) -> jnp.ndarray:
+    """Make rows [extent, extent+pad) hold the values an unsharded reflect
+    pad would supply at an array ENDING at ``extent``: row extent+i :=
+    row extent-2-i. With this pinned, a reflect conv's output rows below
+    the extent match the unsharded conv on the extent-tall input exactly.
+    ``extent`` may be traced; pins past H_global are no-ops (the aligned
+    case, where ``halo_extend``'s true global edge already reflects).
+    Caller must guarantee H_global - extent >= pad or == 0 — the callers'
+    pad targets make both gaps multiples of the conv alignment, which is
+    always >= the largest pin. Costs ``pad`` one-row psums."""
+    for i in range(pad):
+        row = fetch_global_row(x, extent - 2 - i, axis=axis)
+        x = set_global_row(x, extent + i, row, axis=axis)
+    return x
+
+
 def _conv_valid(x, w, stride):
     from fast_neural_style_transfer_tpu.ops.conv import _conv
 
@@ -175,12 +192,25 @@ def conv_transpose2d_sharded(x, w, b, *, axis: str = AXIS):
 
 
 def instance_norm_sharded(x, gamma, beta, *, eps: float = 1e-5,
-                          relu: bool = False, axis: str = AXIS):
-    """IN with global spatial statistics via two-pass psum over ``axis``."""
+                          relu: bool = False, axis: str = AXIS, extent=None):
+    """IN with global spatial statistics via two-pass psum over ``axis``.
+
+    ``extent`` (traced scalar OK): global active H; rows >= extent are
+    excluded from both moments and the count shrinks to extent * W — the
+    active-extent tool that keeps slab padding out of the statistics when
+    the true height is not divisible by the shard count."""
     xf = x.astype(jnp.float32)
-    count = x.shape[1] * x.shape[2] * lax.axis_size(axis)
-    mean = lax.psum(jnp.sum(xf, axis=(1, 2), keepdims=True), axis) / count
-    xc = xf - mean
+    if extent is None:
+        count = x.shape[1] * x.shape[2] * lax.axis_size(axis)
+        mean = lax.psum(jnp.sum(xf, axis=(1, 2), keepdims=True), axis) / count
+        xc = xf - mean
+    else:
+        keep = (global_row_index(x.shape[1], axis) < extent)
+        keep = keep[None, :, None, None].astype(jnp.float32)
+        count = extent.astype(jnp.float32) * x.shape[2]
+        mean = lax.psum(jnp.sum(xf * keep, axis=(1, 2), keepdims=True),
+                        axis) / count
+        xc = (xf - mean) * keep
     var = lax.psum(jnp.sum(xc * xc, axis=(1, 2), keepdims=True), axis) / count
     out = xc * lax.rsqrt(var + eps)
     out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)

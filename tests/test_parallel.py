@@ -117,14 +117,29 @@ def test_spatially_sharded_inference_matches_local():
 
 
 def test_spatially_sharded_inference_unaligned_height():
-    """H not divisible by 4*n_shards goes through pad+crop."""
+    """H not divisible by 4*n_shards is EXACT, not merely shape-correct:
+    the active-extent machinery (reflect-pin rows, masked IN moments, zeroed
+    transpose boundary row — models/spatial.py) makes the sharded route
+    equal the single-device pad-4/run/crop route. 52 rows is already a
+    multiple of 4, so the canonical input is UNPADDED and the 12 slab-fill
+    rows (-> 64 over 4 shards) must be completely invisible; 49 rows also
+    exercises the canonical reflect pad itself."""
+    from fast_neural_style_transfer_tpu.core.shapes import (
+        pad_to_multiple_reflect,
+    )
     from fast_neural_style_transfer_tpu.infer.spatial import stylize_spatial
 
     plan = make_mesh_plan(spatial=4)
     params = TransformerNet.init(jax.random.PRNGKey(0))
-    x = jax.random.normal(jax.random.PRNGKey(2), (1, 52, 40, 3))
-    out = stylize_spatial(params, x, plan)
-    assert out.shape == (1, 52, 40, 3)
+    fwd = jax.jit(lambda p, v: TransformerNet.apply(p, v, train=False))
+    for h, w in ((52, 40), (49, 40)):
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, h, w, 3))
+        canon, _ = pad_to_multiple_reflect(x, 4)
+        want = np.asarray(fwd(params, canon))[:, :h, :w, :]
+        out = stylize_spatial(params, x, plan)
+        assert out.shape == (1, h, w, 3)
+        np.testing.assert_allclose(np.asarray(out), want,
+                                   rtol=1e-3, atol=1e-4)
 
 
 def test_spatial_tiny_image_pads_to_safe_local_height():
