@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--total_steps", type=int, default=20_000)
     t.add_argument("--batch_size", type=int, default=8)
     t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--remat", action="store_true",
+                   help="Rematerialize the decoder + output-VGG forwards in "
+                        "the backward (jax.checkpoint): ~+1 forward of step "
+                        "time frees the activation memory bounding batch "
+                        "per chip")
     t.add_argument("--lr_decay", type=float, default=5e-5,
                    help="Inverse-time lr decay lr/(1+decay*step), the "
                         "paper's recipe; 0 = constant lr")
@@ -149,6 +154,7 @@ def main(argv=None) -> None:
             batch_size=args.batch_size,
             lr=args.lr,
             lr_decay=args.lr_decay,
+            remat=args.remat,
             style_weight=args.style_weight,
             image_size=tuple(args.image_size),
             precision=args.precision,

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial", type=int, default=1,
                    help="Shard image HEIGHT over N chips for high-resolution "
                         "training (uses all devices on the 'space' axis)")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize the forward in the backward pass "
+                        "(jax.checkpoint): ~+1 forward of step time buys "
+                        "back the activation memory that bounds max batch "
+                        "or image size per chip")
     p.add_argument("--image_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="Training crop size (default: config TRAIN_IMAGE_SHAPE)")
@@ -122,6 +127,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         num_workers=args.num_workers,
         spatial=args.spatial,
+        remat=args.remat,
         init_checkpoint=args.checkpoint_path,
         profile_start=args.profile_start,
         profile_stop=args.profile_stop,

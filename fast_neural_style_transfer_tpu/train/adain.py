@@ -48,8 +48,16 @@ def adain_loss_fn(
     style_weight: jnp.ndarray,
     *,
     precision: Precision,
+    remat: bool = False,
 ):
-    """(total, metrics) for one (content batch, style batch) pair."""
+    """(total, metrics) for one (content batch, style batch) pair.
+
+    ``remat``: rematerialize the two gradient-bearing forwards — the
+    decoder and the VGG encode of its output — in the backward pass
+    (``jax.checkpoint``; identical math, ~+1 forward of step time, frees
+    the peak activation memory that bounds batch per chip). The content
+    and style encodes carry no decoder gradient, so XLA stores nothing for
+    them either way."""
     # No stop_gradient anywhere: the grad is taken w.r.t. decoder_params
     # only (make_adain_train_step differentiates the first argument), and
     # none of the encoder features depend on it — t is the decoder's INPUT,
@@ -64,8 +72,18 @@ def adain_loss_fn(
                                   precision=precision)
 
     t = adain(c_feat, s_feats[-1])
-    img = AdaINDecoder.apply(decoder_params, t, precision=precision)
-    o_feats = VGG19Features.apply(vgg_params, img, STYLE_TAPS, precision=precision)
+
+    def dec_fwd(p, v):
+        return AdaINDecoder.apply(p, v, precision=precision)
+
+    def enc_fwd(vp, v):
+        return VGG19Features.apply(vp, v, STYLE_TAPS, precision=precision)
+
+    if remat:
+        dec_fwd = jax.checkpoint(dec_fwd)
+        enc_fwd = jax.checkpoint(enc_fwd)
+    img = dec_fwd(decoder_params, t)
+    o_feats = enc_fwd(vgg_params, img)
 
     # content: mean-MSE against the AdaIN target (paper eq. 12 — against t,
     # not the raw content feature)
@@ -107,6 +125,7 @@ def make_adain_train_step(
     precision: Precision = Precision.f32(),
     donate: bool = True,
     lr_decay: float = 0.0,
+    remat: bool = False,
 ) -> Callable:
     """Jitted ``step(state, vgg_params, content, style) -> (state, metrics)``.
 
@@ -117,7 +136,7 @@ def make_adain_train_step(
     def step_fn(state: TrainState, vgg_params, content, style):
         grads, metrics = jax.grad(
             lambda p: adain_loss_fn(p, vgg_params, content, style, sw,
-                                    precision=precision),
+                                    precision=precision, remat=remat),
             has_aux=True,
         )(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
@@ -162,6 +181,8 @@ class AdaINTrainConfig:
     # restorable). 0 disables.
     lr_decay: float = 5e-5
     style_weight: float = 10.0
+    # jax.checkpoint the decoder + output-VGG forwards (see adain_loss_fn)
+    remat: bool = False
     image_size: Tuple[int, int] = (256, 256)
     precision: str = "f32"
     seed: int = 0
@@ -221,7 +242,7 @@ def train_adain(cfg: AdaINTrainConfig) -> str:
 
     step = make_adain_train_step(optimizer, lr_decay=cfg.lr_decay,
                                  style_weight=cfg.style_weight,
-                                 precision=prec)
+                                 precision=prec, remat=cfg.remat)
 
     # two independent streams; different seeds decorrelate the pairing
     content_pipe = InputPipeline(

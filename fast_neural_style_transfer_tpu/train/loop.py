@@ -69,6 +69,10 @@ class TrainConfig:
     tv_weight: float = 10.0
     weight_decay_every: int = 10_000  # 0 disables the halving/doubling schedule
     grad_accum: int = 1  # micro-batches averaged per optimizer update
+    # rematerialize the stylizer + stylized-VGG forwards in the backward
+    # (jax.checkpoint): ~+1 forward of step time buys back the peak
+    # activation memory that bounds max batch / image size per chip
+    remat: bool = False
 
     content_tap: str = "relu4_2"  # the reference *intended* relu4_2 (config.py:18)
     style_taps: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")
@@ -284,6 +288,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             total_steps=cfg.total_steps,
             grad_accum=cfg.grad_accum,
             num_styles=num_styles,
+            remat=cfg.remat,
         )
     eval_forward = make_eval_forward(precision=prec)
 

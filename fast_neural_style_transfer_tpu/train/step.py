@@ -76,6 +76,7 @@ def loss_fn(
     precision: Precision,
     train: bool = True,
     style_select: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ):
     """Weighted perceptual loss for one batch; returns (total, metrics).
 
@@ -83,14 +84,34 @@ def loss_fn(
     each example with a style — conditions the stylizer's instance norms AND
     picks the matching row of each (S, c, c) style-Gram bank, so generator
     and loss always agree on which style an example is being pushed toward.
+
+    ``remat``: rematerialize the two gradient-bearing forwards (stylizer,
+    VGG over the stylized batch) in the backward pass instead of keeping
+    their activations live — the standard TPU HBM-for-FLOPs trade
+    (``jax.checkpoint``). Identical math and gradients; backward recomputes
+    each segment once, so expect roughly +1 forward of step time in
+    exchange for the peak-activation memory, which is what bounds the max
+    batch (or image size) per chip. The content-VGG branch needs nothing:
+    it is under stop_gradient, so XLA already stores none of it.
     """
     cw, sw, tw = weights
     batch = normalize_u8_batch(batch)
-    stylized = TransformerNet.apply(params, batch, train=train, rng=rng, precision=precision,
-                                    style_weights=style_select)
-    stylized = jnp.clip(stylized, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
+
+    def net_fwd(p, b, r, sel):
+        out = TransformerNet.apply(p, b, train=train, rng=r,
+                                   precision=precision, style_weights=sel)
+        return jnp.clip(out, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
 
     tap_names = taps.all_taps
+
+    def vgg_fwd(vp, s):
+        return VGG19Features.apply(vp, s, tap_names, precision=precision)
+
+    if remat:
+        net_fwd = jax.checkpoint(net_fwd)
+        vgg_fwd = jax.checkpoint(vgg_fwd)
+    stylized = net_fwd(params, batch, rng, style_select)
+
     content_feats = VGG19Features.apply(
         jax.lax.stop_gradient(vgg_params),
         jax.lax.stop_gradient(batch),
@@ -98,7 +119,7 @@ def loss_fn(
         precision=precision,
     )
     content_feats = [jax.lax.stop_gradient(f) for f in content_feats]
-    stylized_feats = VGG19Features.apply(vgg_params, stylized, tap_names, precision=precision)
+    stylized_feats = vgg_fwd(vgg_params, stylized)
 
     s_feats, c_feat_stylized = taps.split(stylized_feats)
     _, c_feat_target = taps.split(content_feats)
@@ -128,6 +149,7 @@ def make_train_step(
     grad_accum: int = 1,
     donate: bool = True,
     num_styles: int = 1,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted ``step(state, vgg_params, batch, style_grams, rng)``.
 
@@ -170,7 +192,7 @@ def make_train_step(
             style_select = jax.nn.one_hot(idx, num_styles, dtype=jnp.float32)
         grads, metrics = jax.grad(
             functools.partial(loss_fn, taps=taps, precision=precision,
-                              style_select=style_select),
+                              style_select=style_select, remat=remat),
             has_aux=True,
         )(state.params, vgg_params, batch, style_grams, weights, rng)
 

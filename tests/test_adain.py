@@ -141,6 +141,39 @@ class TestTrainStep:
         assert int(state.step) == 6
 
     @pytest.mark.slow
+    def test_remat_matches_baseline(self):
+        """--remat (jax.checkpoint on the decoder + output-VGG forwards) is
+        a memory/compute trade, not a numerics change."""
+        import optax
+
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+        from fast_neural_style_transfer_tpu.train.adain import (
+            make_adain_train_step,
+        )
+        from fast_neural_style_transfer_tpu.train.state import (
+            create_train_state,
+        )
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        state = create_train_state(AdaINDecoder.init(jax.random.PRNGKey(1)),
+                                   opt)
+        content = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+        style = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+
+        s_base, m_base = make_adain_train_step(opt, donate=False)(
+            state, vgg, content, style)
+        s_rm, m_rm = make_adain_train_step(opt, donate=False, remat=True)(
+            state, vgg, content, style)
+        np.testing.assert_allclose(float(m_rm["loss"]),
+                                   float(m_base["loss"]), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+            s_rm.params, s_base.params,
+        )
+
+    @pytest.mark.slow
     def test_dp_sharded_matches_single_device(self):
         """The AdaIN step must partition over the data mesh value-identically
         (per-(b, c) stats never cross the batch axis)."""

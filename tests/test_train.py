@@ -89,6 +89,36 @@ def test_train_step_runs_and_loss_decreases():
     assert last < first, f"loss did not decrease: {first} -> {last}"
 
 
+@pytest.mark.slow
+def test_remat_step_matches_baseline():
+    """--remat (jax.checkpoint on the stylizer + stylized-VGG forwards) is a
+    memory/compute trade, NOT a numerics change: one step with remat must
+    produce the same params and metrics as one step without."""
+    taps = LossTaps(content_tap="relu4_2")
+    vgg = VGG19Features.init(jax.random.PRNGKey(0))
+    style = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 32, 3))
+    grams = tuple(style_targets_from_features(
+        VGG19Features.apply(vgg, style, taps.style_taps)))
+    opt = make_optimizer(1e-3, 50)
+    state = create_train_state(TransformerNet.init(jax.random.PRNGKey(0)), opt)
+    batch = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    rng = jax.random.PRNGKey(1)
+
+    kw = dict(taps=taps, weight_schedule=LossWeightSchedule(), lr=1e-3,
+              total_steps=50, donate=False)
+    s_base, m_base = make_train_step(opt, **kw)(state, vgg, batch, grams, rng)
+    s_rm, m_rm = make_train_step(opt, remat=True, **kw)(
+        state, vgg, batch, grams, rng)
+
+    np.testing.assert_allclose(float(m_rm["loss"]), float(m_base["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s_rm.params, s_base.params,
+    )
+
+
 def test_train_step_nan_guard_keeps_params():
     state, vgg, batch, grams, step, _ = _tiny_setup()
     bad = batch.at[0, 0, 0, 0].set(jnp.nan)
