@@ -277,6 +277,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             lr=cfg.lr,
             total_steps=cfg.total_steps,
             grad_accum=cfg.grad_accum,
+            remat=cfg.remat,
         )
     else:
         train_step = make_train_step(

@@ -63,10 +63,17 @@ def spatial_loss_fn(
     precision: Precision,
     axis: str = AXIS,
     batch_axes: Tuple[str, ...] = (),
+    remat: bool = False,
 ):
     """Per-shard weighted perceptual loss; every reduction is global (over
     the 'space' axis plus any ``batch_axes`` the batch dim is sharded over),
-    so the returned scalar is identical on all shards."""
+    so the returned scalar is identical on all shards.
+
+    ``remat``: jax.checkpoint the two gradient-bearing forwards (sharded
+    stylizer, sharded VGG over its output) — the HBM trade matters MOST
+    here, where the whole point is images too big for one chip's
+    activations. Collectives inside the segments (halo ppermutes, stat
+    psums) replay in the recompute like any other op."""
     cw, sw, tw = weights
     batch = normalize_u8_batch(batch)
     if rng is not None:
@@ -75,10 +82,16 @@ def spatial_loss_fn(
         # so never fold the space index in
         for a in batch_axes:
             rng = jax.random.fold_in(rng, lax.axis_index(a))
-    stylized = transformer_forward_sharded(
-        params, batch, train=True, rng=rng, precision=precision, axis=axis
-    )
-    stylized = jnp.clip(stylized, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
+
+    def net_fwd(p, b, r):
+        out = transformer_forward_sharded(
+            p, b, train=True, rng=r, precision=precision, axis=axis
+        )
+        return jnp.clip(out, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
+
+    if remat:
+        net_fwd = jax.checkpoint(net_fwd)
+    stylized = net_fwd(params, batch, rng)
 
     tap_names = taps.all_taps
     content_feats = vgg_features_sharded(
@@ -86,9 +99,14 @@ def spatial_loss_fn(
         precision=precision, axis=axis,
     )
     content_feats = [lax.stop_gradient(f) for f in content_feats]
-    stylized_feats = vgg_features_sharded(
-        vgg_params, stylized, tap_names, precision=precision, axis=axis
-    )
+
+    def vgg_fwd(vp, s):
+        return vgg_features_sharded(vp, s, tap_names, precision=precision,
+                                    axis=axis)
+
+    if remat:
+        vgg_fwd = jax.checkpoint(vgg_fwd)
+    stylized_feats = vgg_fwd(vgg_params, stylized)
     s_feats, c_stylized = taps.split(stylized_feats)
     _, c_target = taps.split(content_feats)
 
@@ -123,6 +141,7 @@ def make_spatial_train_step(
     total_steps: int = 80_000,
     grad_accum: int = 1,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted H-sharded ``step(state, vgg_params, batch_global,
     style_grams, rng)``. ``batch_global`` is the full-resolution NHWC batch,
@@ -140,7 +159,7 @@ def make_spatial_train_step(
     batch_axes: Tuple[str, ...] = ("data",) if data_sharded else ()
     batch_spec = P("data" if data_sharded else None, AXIS, None, None)
     lfn = functools.partial(spatial_loss_fn, taps=taps, precision=precision,
-                            batch_axes=batch_axes)
+                            batch_axes=batch_axes, remat=remat)
 
     def sharded_grads(params, vgg_params, batch, style_grams, weights, rng):
         (loss, metrics), grads = jax.value_and_grad(lfn, has_aux=True)(

@@ -159,6 +159,34 @@ def test_spatial_train_step_matches_local_step():
 
 
 @pytest.mark.slow
+def test_spatial_remat_step_matches_baseline():
+    """remat=True on the H-sharded step (jax.checkpoint around the sharded
+    forwards, collectives replaying in the recompute) must change nothing
+    numerically."""
+    taps, vgg, params, batch, grams = _setup()
+    plan = make_mesh_plan(spatial=4)
+    opt = make_optimizer(1e-3, 100)
+    kw = dict(taps=taps, weight_schedule=LossWeightSchedule(), lr=1e-3,
+              total_steps=100, donate=False)
+
+    s_base, m_base = make_spatial_train_step(opt, plan, **kw)(
+        create_train_state(params, opt), vgg, batch, grams, None)
+    s_rm, m_rm = make_spatial_train_step(opt, plan, remat=True, **kw)(
+        create_train_state(params, opt), vgg, batch, grams, None)
+
+    np.testing.assert_allclose(float(m_rm["loss"]), float(m_base["loss"]),
+                               rtol=1e-6)
+    # params: same bound as test_spatial_train_step_matches_local_step —
+    # the recomputed backward reassociates reductions, and Adam amplifies
+    # that noise to ~2*lr on near-zero gradient elements
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2.5e-3),
+        s_rm.params, s_base.params,
+    )
+
+
+@pytest.mark.slow
 def test_spatial_step_trains_loss_down():
     taps, vgg, params, batch, grams = _setup()
     plan = make_mesh_plan(spatial=4)
