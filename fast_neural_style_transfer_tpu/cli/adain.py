@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "<content_dir>_stylized)")
     s.add_argument("--alpha", type=float, default=1.0,
                    help="style strength in [0, 1] (0 = content reconstruction)")
+    s.add_argument("--preserve_color", default="off",
+                   choices=["off", "match", "luma"],
+                   help="keep the content's palette (paper §7.2): 'match' "
+                        "re-colors the style image(s) to the content's RGB "
+                        "mean/covariance before encoding; 'luma' keeps only "
+                        "the stylized luminance and takes chrominance from "
+                        "the content (single-image mode)")
     s.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"))
     s.add_argument("--vgg_weights", default=None)
     s.add_argument("--precision", default="f32", choices=["f32", "bf16"])
@@ -131,6 +138,26 @@ def load_decoder(path: str):
     from fast_neural_style_transfer_tpu.train.checkpoint import CheckpointManager
 
     return CheckpointManager(path).restore_params(template)
+
+
+def _maybe_luma(out, content, mode: str):
+    """preserve_color='luma': stylized luminance + content chrominance.
+    Both arrays are ImageNet-normalized network space; the YIQ split only
+    makes sense on real RGB, so round-trip through [0, 1]."""
+    if mode != "luma":
+        return out
+    import jax.numpy as jnp
+
+    from fast_neural_style_transfer_tpu.utils.color import luminance_transfer
+    from fast_neural_style_transfer_tpu.utils.image_io import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    out01 = luminance_transfer(out * std + mean, content * std + mean)
+    return (out01 - mean) / std
 
 
 def main(argv=None) -> None:
@@ -239,6 +266,10 @@ def main(argv=None) -> None:
             "pass exactly one of --content_image (single) or "
             "--content_dir (bulk)")
     if args.content_dir is not None:
+        if getattr(args, "preserve_color", "off") != "off":
+            raise SystemExit(
+                "--preserve_color currently applies to single-image mode; "
+                "run bulk jobs per image for color control")
         if args.spatial > 1:
             raise SystemExit(
                 "--content_dir and --spatial cannot be combined yet; run "
@@ -288,6 +319,14 @@ def main(argv=None) -> None:
         pad_to_multiple_reflect(jnp.asarray(load_image(p, None)), 8)[0]
         for p in args.style_image
     ]
+    if args.preserve_color == "match":
+        # paper §7.2: re-color the style to the content's RGB statistics so
+        # the stylization paints with the content's palette. Matching in
+        # ImageNet-normalized space matches raw-space statistics too — the
+        # normalization is per-channel affine both ways.
+        from fast_neural_style_transfer_tpu.utils.color import match_color
+
+        styles = [match_color(s, content) for s in styles]
     if args.spatial > 1:
         from fast_neural_style_transfer_tpu.infer.spatial_adain import (
             stylize_arbitrary_spatial,
@@ -298,17 +337,21 @@ def main(argv=None) -> None:
         out = stylize_arbitrary_spatial(
             decoder, vgg_params, content, styles, plan, alpha=args.alpha,
             style_weights=args.style_blend, precision=prec)
+        out = _maybe_luma(out, content, args.preserve_color)
         save_image(np.asarray(out), out_path)
         print(f"saved {out_path}")
         return
     # content H, W must divide 8 (VGG pools + decoder ups); reflect-pad up
     # and crop back. Style images only contribute channel statistics, but
     # VGG's pools still need their dims to divide 8.
+    content_orig = content
     content, (h, w) = pad_to_multiple_reflect(content, 8)
     out = stylize_arbitrary(decoder, vgg_params, content, styles,
                             alpha=args.alpha, style_weights=args.style_blend,
                             precision=prec)
-    save_image(np.asarray(out)[:, :h, :w, :], out_path)
+    out = _maybe_luma(jnp.asarray(out)[:, :h, :w, :], content_orig,
+                      args.preserve_color)
+    save_image(np.asarray(out), out_path)
     print(f"saved {out_path}")
 
 

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="W",
                    help="Multi-style checkpoints: length-S weights that "
                         "convexly blend the trained styles (e.g. 0.5 0.5)")
+    p.add_argument("--preserve_color", default="off", choices=["off", "luma"],
+                   help="'luma' keeps only the stylized luminance and takes "
+                        "chrominance from the content (Gatys color control; "
+                        "single-image modes)")
     return p
 
 
@@ -69,6 +73,9 @@ def main(argv=None) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, args.output_name)
     if args.content_dir:
+        if args.preserve_color != "off":
+            raise SystemExit(
+                "--preserve_color currently applies to single-image modes")
         if args.spatial > 1:
             raise SystemExit(
                 "--content_dir and --spatial cannot be combined yet; run "
@@ -109,6 +116,22 @@ def main(argv=None) -> None:
         x = load_image(args.content_image, tuple(args.size) if args.size else None)
         out = stylize_spatial(stylizer.params, x, plan,
                               precision=stylizer.precision)
+        if args.preserve_color == "luma":
+            import jax.numpy as jnp
+
+            from fast_neural_style_transfer_tpu.utils.color import (
+                luminance_transfer,
+            )
+            from fast_neural_style_transfer_tpu.utils.image_io import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+            )
+
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            out01 = luminance_transfer(jnp.asarray(out) * std + mean,
+                                       jnp.asarray(x) * std + mean)
+            out = (out01 - mean) / std
         save_image(np.asarray(out), out_path)
     else:
         out_path = stylize_image_file(
@@ -118,6 +141,7 @@ def main(argv=None) -> None:
             size=tuple(args.size) if args.size else None,
             precision=args.precision,
             style=style,
+            preserve_color=args.preserve_color,
         )
     print(f"saved {out_path}")
 

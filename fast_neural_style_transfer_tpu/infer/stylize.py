@@ -229,6 +229,7 @@ def stylize_image_file(
     size: Optional[Tuple[int, int]] = None,
     precision: str = "f32",
     style=None,
+    preserve_color: str = "off",
 ) -> str:
     """File-in/file-out single-image path (reference test_inference,
     inference.py:27-61 — minus its preprocessing bug).
@@ -236,7 +237,9 @@ def stylize_image_file(
     Uses the uint8 device-roundtrip (normalize and denormalize fused into
     the jitted forward): same canonical preprocess as ``load_image``
     (defect #7 fix), 4x fewer transfer bytes each way. ``style``: index or
-    blend weights for multi-style checkpoints (Stylizer.from_checkpoint)."""
+    blend weights for multi-style checkpoints (Stylizer.from_checkpoint).
+    ``preserve_color='luma'``: keep only the stylized LUMINANCE and take
+    chrominance from the content (Gatys color control; utils/color.py)."""
     from PIL import Image
 
     from fast_neural_style_transfer_tpu.utils.image_io import (
@@ -250,6 +253,21 @@ def stylize_image_file(
     if size is not None:
         u8 = resize_image(u8, size)
     out = stylizer.stylize_u8(u8)
+    if preserve_color == "luma":
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fast_neural_style_transfer_tpu.utils.color import (
+            luminance_transfer,
+        )
+
+        o = luminance_transfer(
+            jnp.asarray(out[None], jnp.float32) / 255.0,
+            jnp.asarray(u8[None], jnp.float32) / 255.0,
+        )
+        out = np.clip(np.asarray(o)[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    elif preserve_color not in ("off", None):
+        raise ValueError(f"unknown preserve_color mode {preserve_color!r}")
     Image.fromarray(out).save(output_path)
     return output_path
 

@@ -79,3 +79,29 @@ def test_bench_adain_smoke():
 def test_bench_adain_serving_smoke():
     ms = bench.bench_adain_serving_ms(hw=32, chain=2, samples=1)
     assert ms > 0
+
+
+@pytest.mark.slow
+def test_memory_probe_reports_compiled_analysis(capsys):
+    """tools/memory_probe.py compiles (never runs) a train step and emits
+    one JSON line per (batch, remat) with XLA's memory analysis — the
+    numbers that decide whether a shape OOMs on chip."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import memory_probe
+
+    old = sys.argv
+    try:
+        sys.argv = ["memory_probe.py", "2", "--image_size", "32",
+                    "--family", "adain"]
+        memory_probe.main()
+    finally:
+        sys.argv = old
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 2  # remat false + true
+    for ln in lines:
+        rec = _json.loads(ln)
+        assert rec["family"] == "adain" and rec["batch"] == 2
+        assert "temp_size_in_bytes" in rec or "error" in rec
