@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--style_blend", type=float, nargs="+", default=None,
                    metavar="W",
                    help="convex interpolation weights, one per style image")
+    s.add_argument("--style_masks", nargs="+", default=None, metavar="MASK",
+                   help="per-style grayscale mask images, one per "
+                        "--style_image: paint each content region with its "
+                        "own style (paper \u00a77.3 spatial control); resized "
+                        "to the content, normalized per pixel. Mutually "
+                        "exclusive with --style_blend; single-image mode")
     s.add_argument("--output", default=None,
                    help="Output image path (single; default "
                         "adain_stylized.jpg) or directory (bulk; default "
@@ -270,6 +276,9 @@ def main(argv=None) -> None:
             raise SystemExit(
                 "--preserve_color currently applies to single-image mode; "
                 "run bulk jobs per image for color control")
+        if getattr(args, "style_masks", None):
+            raise SystemExit(
+                "--style_masks applies to single-image mode")
         if args.spatial > 1:
             raise SystemExit(
                 "--content_dir and --spatial cannot be combined yet; run "
@@ -328,6 +337,9 @@ def main(argv=None) -> None:
 
         styles = [match_color(s, content) for s in styles]
     if args.spatial > 1:
+        if args.style_masks:
+            raise SystemExit(
+                "--style_masks is not supported with --spatial yet")
         from fast_neural_style_transfer_tpu.infer.spatial_adain import (
             stylize_arbitrary_spatial,
         )
@@ -346,9 +358,27 @@ def main(argv=None) -> None:
     # VGG's pools still need their dims to divide 8.
     content_orig = content
     content, (h, w) = pad_to_multiple_reflect(content, 8)
+    masks = None
+    if args.style_masks:
+        from PIL import Image
+
+        if len(args.style_masks) != len(styles):
+            raise SystemExit(
+                f"{len(args.style_masks)} --style_masks for "
+                f"{len(styles)} --style_image")
+        loaded = [
+            np.asarray(
+                Image.open(m).convert("L").resize((w, h), Image.BILINEAR),
+                np.float32) / 255.0
+            for m in args.style_masks
+        ]
+        masks = np.stack(loaded)
+        ph, pw = content.shape[1] - h, content.shape[2] - w
+        if ph or pw:  # mirror the content's pad so mask pixels track it
+            masks = np.pad(masks, ((0, 0), (0, ph), (0, pw)), mode="edge")
     out = stylize_arbitrary(decoder, vgg_params, content, styles,
                             alpha=args.alpha, style_weights=args.style_blend,
-                            precision=prec)
+                            style_masks=masks, precision=prec)
     out = _maybe_luma(jnp.asarray(out)[:, :h, :w, :], content_orig,
                       args.preserve_color)
     save_image(np.asarray(out), out_path)

@@ -144,6 +144,29 @@ class AdaINDecoder:
         return x
 
 
+def feature_masks(style_masks: jnp.ndarray, hw: Tuple[int, int],
+                  num_styles: int) -> jnp.ndarray:
+    """Validate + downsample per-pixel style masks to the relu4_1 grid.
+
+    ``style_masks``: (S, H, W) non-negative per-pixel style weights at
+    image resolution. Average-pooled 8x down (the encoder's three pools)
+    and normalized to sum to 1 per feature pixel; pixels where every mask
+    is ~0 fall back to a uniform blend. Returns (S, H/8, W/8)."""
+    m = jnp.asarray(style_masks, jnp.float32)
+    if m.ndim != 3 or m.shape[0] != num_styles:
+        raise ValueError(
+            f"style_masks must be (S={num_styles}, H, W); got {m.shape}")
+    if m.shape[1:] != tuple(hw):
+        raise ValueError(
+            f"style_masks spatial shape {m.shape[1:]} must equal the "
+            f"content's {tuple(hw)}")
+    s, h, w = m.shape
+    mf = m.reshape(s, h // 8, 8, w // 8, 8).mean(axis=(2, 4))
+    total = jnp.sum(mf, axis=0, keepdims=True)
+    uniform = jnp.full_like(mf, 1.0 / s)
+    return jnp.where(total > 1e-6, mf / jnp.maximum(total, 1e-6), uniform)
+
+
 def stylize_arbitrary(
     decoder_params: Params,
     vgg_params: Any,
@@ -152,6 +175,7 @@ def stylize_arbitrary(
     *,
     alpha: float = 1.0,
     style_weights=None,
+    style_masks=None,
     precision: Precision = Precision.f32(),
 ) -> jnp.ndarray:
     """One arbitrary-style forward: encode both, AdaIN, blend, decode.
@@ -162,11 +186,24 @@ def stylize_arbitrary(
     Style images may differ in size from the content and each other —
     only their channel statistics are used.
 
+    ``style_masks``: (S, H, W) per-PIXEL style weights (paper §7.3 spatial
+    control) — each region of the content is re-normalized toward its own
+    style's statistics, masks average-pooled to the feature grid and
+    normalized per pixel. Mutually exclusive with ``style_weights`` (masks
+    ARE the per-pixel weights).
+
     ``alpha`` in [0, 1]: 1.0 = full stylization, 0.0 = reconstruct the
     content (paper §7.1 runtime control). Content H, W must be multiples
     of 8 (three VGG pools down, three x2 ups back).
     """
+    if style_masks is not None and style_weights is not None:
+        raise ValueError(
+            "style_masks and style_weights are mutually exclusive: masks "
+            "are per-pixel weights already")
     styles, weights = resolve_style_weights(style, style_weights)
+    masks_f = None
+    if style_masks is not None:
+        masks_f = feature_masks(style_masks, content.shape[1:3], len(styles))
 
     (c_feat,) = VGG19Features.apply(vgg_params, content, (ENCODE_TAP,),
                                     precision=precision)
@@ -177,11 +214,12 @@ def stylize_arbitrary(
     mu_c, sigma_c = channel_stats(c_feat)
     c_norm = (c_feat.astype(jnp.float32) - mu_c) / sigma_c
     t = jnp.zeros_like(c_norm)
-    for s_img, w in zip(styles, weights):
+    for i, (s_img, w) in enumerate(zip(styles, weights)):
         (s_feat,) = VGG19Features.apply(vgg_params, s_img, (ENCODE_TAP,),
                                         precision=precision)
         mu_s, sigma_s = channel_stats(s_feat)
-        t = t + w * (sigma_s * c_norm + mu_s)
+        wi = w if masks_f is None else masks_f[i][None, :, :, None]
+        t = t + wi * (sigma_s * c_norm + mu_s)
     t = alpha * t + (1.0 - alpha) * c_feat.astype(jnp.float32)
     return AdaINDecoder.apply(decoder_params, t.astype(c_feat.dtype),
                               precision=precision)

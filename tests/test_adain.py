@@ -1005,3 +1005,112 @@ class TestLRSchedule:
         restored = CheckpointManager(str(tmp_path / "ck")).restore(template)
         assert int(restored.step) == int(old.step)
         mgr.close()
+
+
+class TestSpatialStyleControl:
+    """Paper §7.3: per-pixel style masks — each content region re-normalized
+    toward its own style's statistics (models/adain.py feature_masks +
+    stylize_arbitrary(style_masks=...))."""
+
+    def _setup(self):
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        rng = np.random.default_rng(0)
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = jnp.asarray(rng.normal(size=(1, 32, 40, 3)), jnp.float32)
+        s1 = jnp.asarray(rng.normal(size=(1, 24, 24, 3)), jnp.float32)
+        s2 = jnp.asarray(rng.normal(size=(1, 16, 32, 3)) * 2, jnp.float32)
+        return vgg, dec, content, s1, s2
+
+    def test_degenerate_mask_equals_single_style(self):
+        vgg, dec, content, s1, s2 = self._setup()
+        h, w = content.shape[1:3]
+        masks = np.zeros((2, h, w), np.float32)
+        masks[0] = 1.0
+        got = stylize_arbitrary(dec, vgg, content, [s1, s2],
+                                style_masks=masks)
+        want = stylize_arbitrary(dec, vgg, content, s1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_split_mask_differs_from_uniform_blend(self):
+        vgg, dec, content, s1, s2 = self._setup()
+        h, w = content.shape[1:3]
+        masks = np.zeros((2, h, w), np.float32)
+        masks[0, :, : w // 2] = 1.0
+        masks[1, :, w // 2:] = 1.0
+        got = np.asarray(stylize_arbitrary(dec, vgg, content, [s1, s2],
+                                           style_masks=masks))
+        blend = np.asarray(stylize_arbitrary(dec, vgg, content, [s1, s2]))
+        assert np.abs(got - blend).max() > 1e-6
+        assert np.isfinite(got).all()
+
+    def test_all_zero_region_falls_back_to_uniform(self):
+        from fast_neural_style_transfer_tpu.models.adain import feature_masks
+
+        masks = np.zeros((2, 16, 16), np.float32)
+        masks[0, :8] = 2.0  # unnormalized weights are fine
+        mf = np.asarray(feature_masks(masks, (16, 16), 2))
+        assert mf.shape == (2, 2, 2)
+        np.testing.assert_allclose(mf[:, 0, :], [[1.0, 1.0], [0.0, 0.0]])
+        np.testing.assert_allclose(mf[:, 1, :], 0.5)  # dead region: uniform
+
+    def test_validation(self):
+        vgg, dec, content, s1, s2 = self._setup()
+        h, w = content.shape[1:3]
+        good = np.ones((2, h, w), np.float32)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            stylize_arbitrary(dec, vgg, content, [s1, s2], style_masks=good,
+                              style_weights=[0.5, 0.5])
+        with pytest.raises(ValueError, match="must be"):
+            stylize_arbitrary(dec, vgg, content, [s1, s2],
+                              style_masks=np.ones((3, h, w), np.float32))
+        with pytest.raises(ValueError, match="must equal"):
+            stylize_arbitrary(dec, vgg, content, [s1, s2],
+                              style_masks=np.ones((2, h, w + 8), np.float32))
+
+    @pytest.mark.slow
+    def test_cli_style_masks_end_to_end(self, tmp_path):
+        from PIL import Image
+
+        from fast_neural_style_transfer_tpu.cli.adain import main as adain_main
+        from fast_neural_style_transfer_tpu.train.checkpoint import (
+            save_params_npz,
+        )
+
+        rng = np.random.default_rng(0)
+        paths = {}
+        for name, shape in (("content", (41, 50)), ("s1", (24, 24)),
+                            ("s2", (32, 24))):
+            p = str(tmp_path / f"{name}.jpg")
+            Image.fromarray(rng.integers(0, 255, (*shape, 3),
+                                         dtype=np.uint8)).save(p)
+            paths[name] = p
+        for name in ("m1", "m2"):
+            p = str(tmp_path / f"{name}.png")
+            m = np.zeros((41, 50), np.uint8)
+            if name == "m1":
+                m[:, :25] = 255
+            else:
+                m[:, 25:] = 255
+            Image.fromarray(m, "L").save(p)
+            paths[name] = p
+        dec_p = str(tmp_path / "dec.npz")
+        save_params_npz(AdaINDecoder.init(jax.random.PRNGKey(0)), dec_p)
+
+        out_p = str(tmp_path / "out.jpg")
+        adain_main(["stylize", "--decoder", dec_p,
+                    "--content_image", paths["content"],
+                    "--style_image", paths["s1"], paths["s2"],
+                    "--style_masks", paths["m1"], paths["m2"],
+                    "--output", out_p])
+        out = np.asarray(Image.open(out_p))
+        assert out.shape == (41, 50, 3)
+
+        with pytest.raises(SystemExit, match="--style_masks"):
+            adain_main(["stylize", "--decoder", dec_p,
+                        "--content_image", paths["content"],
+                        "--style_image", paths["s1"],
+                        "--style_masks", paths["m1"],
+                        "--spatial", "4"])
