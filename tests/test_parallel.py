@@ -235,3 +235,63 @@ def test_spatial_forward_cached_and_precision_forwarded():
     # and bf16 compute actually diverges from f32 (i.e. the flag is live)
     out_f = np.asarray(stylize_spatial(params, x, plan))
     assert np.abs(out_b - out_f).max() > 0
+
+
+def test_sharded_row_primitives():
+    """The active-extent toolkit (ops/sharded.py): fetch/set a global row by
+    traced index across shard boundaries, mask rows past an extent, and pin
+    the virtual reflect rows — the pieces that make non-shard-aligned sizes
+    exact in infer/spatial.py and infer/spatial_adain.py."""
+    from jax.sharding import PartitionSpec as P
+
+    from fast_neural_style_transfer_tpu.ops import sharded as sh
+    from fast_neural_style_transfer_tpu.parallel.mesh import shard_map_checked
+
+    plan = make_mesh_plan(spatial=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 4, 3)), jnp.float32)  # 4 rows/shard
+
+    def run(fn, *extra):
+        mapped = shard_map_checked(
+            fn, plan.mesh,
+            in_specs=(P(None, "space", None, None),) + (P(),) * len(extra),
+            out_specs=P(None, "space", None, None),
+            check=False,
+        )
+        return np.asarray(jax.jit(mapped)(x, *extra))
+
+    xn = np.asarray(x)
+
+    # fetch: global row i (traced), replicated — incl. cross-shard indices
+    def fetch_then_broadcast(v, i):
+        row = sh.fetch_global_row(v, i)          # (B, 1, W, C)
+        return jnp.broadcast_to(row, v.shape)
+
+    for i in (0, 5, 11, 15):
+        got = run(fetch_then_broadcast, jnp.int32(i))
+        np.testing.assert_allclose(got[:, 0], xn[:, i], rtol=1e-6)
+
+    # set: write a fetched row into another global row, crossing shards
+    def set_row(v, i, j):
+        return sh.set_global_row(v, j, sh.fetch_global_row(v, i))
+
+    got = run(set_row, jnp.int32(2), jnp.int32(13))
+    want = xn.copy()
+    want[:, 13] = xn[:, 2]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # out-of-range target: a no-op (the aligned case)
+    got = run(set_row, jnp.int32(2), jnp.int32(16))
+    np.testing.assert_allclose(got, xn, rtol=1e-6)
+
+    # mask: rows >= extent zeroed, extent traced
+    got = run(lambda v, e: sh.mask_rows_from(v, e), jnp.int32(9))
+    want = xn.copy()
+    want[:, 9:] = 0.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # pin: rows [e, e+pad) become the reflect continuation rows e-2-i
+    got = run(lambda v, e: sh.pin_reflect_rows(v, e, 3), jnp.int32(10))
+    want = xn.copy()
+    for i in range(3):
+        want[:, 10 + i] = xn[:, 8 - i]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
