@@ -84,7 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "re-colors the style image(s) to the content's RGB "
                         "mean/covariance before encoding; 'luma' keeps only "
                         "the stylized luminance and takes chrominance from "
-                        "the content (single-image mode)")
+                        "the content ('luma' also works in bulk mode, "
+                        "folded into the jitted serving program)")
     s.add_argument("--size", type=int, nargs=2, default=None, metavar=("H", "W"))
     s.add_argument("--vgg_weights", default=None)
     s.add_argument("--precision", default="f32", choices=["f32", "bf16"])
@@ -272,10 +273,11 @@ def main(argv=None) -> None:
             "pass exactly one of --content_image (single) or "
             "--content_dir (bulk)")
     if args.content_dir is not None:
-        if getattr(args, "preserve_color", "off") != "off":
+        if getattr(args, "preserve_color", "off") == "match":
             raise SystemExit(
-                "--preserve_color currently applies to single-image mode; "
-                "run bulk jobs per image for color control")
+                "--preserve_color match is per-content (it re-colors the "
+                "style pixels) and cannot use the bulk cached-style engine; "
+                "'luma' works in bulk, or run 'match' per image")
         if getattr(args, "style_masks", None):
             raise SystemExit(
                 "--style_masks applies to single-image mode")
@@ -301,6 +303,7 @@ def main(argv=None) -> None:
             precision=args.precision,
             data_parallel=args.data_parallel,
             skip_bad_images=args.skip_bad_images,
+            preserve_color=args.preserve_color,
         )
         done = [w for w in written if w]
         print(f"stylized {len(done)} images"

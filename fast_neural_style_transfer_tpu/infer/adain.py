@@ -49,7 +49,20 @@ class ArbitraryStylizer:
         precision: str = "f32",
         sharding: Optional[Any] = None,
         bucket_multiple: int = 64,
+        preserve_color: str = "off",
     ):
+        # preserve_color='luma' folds Gatys color control INTO the jitted
+        # u8 roundtrip (the content is already in-graph): stylized
+        # luminance + content chrominance, zero extra transfers. 'match'
+        # cannot be cached-style served — it re-colors the style PIXELS per
+        # content, so the folded (mu, sigma) pair would change per image;
+        # use the single-image CLI path for it.
+        if preserve_color not in ("off", "luma"):
+            raise ValueError(
+                f"preserve_color must be 'off' or 'luma' for serving "
+                f"(got {preserve_color!r}); 'match' is per-content and "
+                "defeats the cached style")
+        self.preserve_color = preserve_color
         # bucket_multiple trades pad distortion against recompiles: content
         # is reflect-padded up to the (H, W) bucket before the forward, and
         # the padded rows DO enter the global AdaIN moments (cropped away
@@ -114,6 +127,19 @@ class ArbitraryStylizer:
         t = alpha * t + (1.0 - alpha) * cf
         y = AdaINDecoder.apply(dec, t.astype(c_feat.dtype),
                                precision=self.precision)
+        if self.preserve_color == "luma":
+            from fast_neural_style_transfer_tpu.utils.color import (
+                luminance_transfer,
+            )
+            from fast_neural_style_transfer_tpu.utils.image_io import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+            )
+
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            y01 = luminance_transfer(y * std + mean, x * std + mean)
+            y = (y01 - mean) / std
         return network_to_u8_jnp(y)
 
     def _place(self, padded: jnp.ndarray) -> jnp.ndarray:
@@ -155,6 +181,7 @@ def stylize_directory_arbitrary(
     num_workers: int = 8,
     data_parallel: bool = False,
     skip_bad_images: bool = False,
+    preserve_color: str = "off",
 ) -> list:
     """Stylize every image under ``content_dir`` with one arbitrary style
     (or an interpolated set): the AdaIN counterpart of
@@ -177,6 +204,7 @@ def stylize_directory_arbitrary(
     styler = ArbitraryStylizer(
         load_decoder(decoder_path), resolve_params(vgg_weights),
         precision=precision, sharding=sharding,
+        preserve_color=preserve_color,
     )
     paths = (list(style_paths) if isinstance(style_paths, (list, tuple))
              else [style_paths])

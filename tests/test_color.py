@@ -156,10 +156,59 @@ def test_adain_cli_preserve_color_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
-def test_adain_cli_preserve_color_rejected_in_bulk(tmp_path):
+def test_adain_cli_preserve_color_match_rejected_in_bulk(tmp_path):
+    """'match' re-colors the style pixels per content — incompatible with
+    the bulk engine's once-per-job cached style. 'luma' IS bulk-servable
+    (folded into the jitted roundtrip; covered below)."""
     from fast_neural_style_transfer_tpu.cli.adain import main as adain_main
 
-    with pytest.raises(SystemExit, match="single-image"):
+    with pytest.raises(SystemExit, match="per-content"):
         adain_main(["stylize", "--decoder", "x.npz",
                     "--content_dir", str(tmp_path), "--style_image", "s.jpg",
-                    "--preserve_color", "luma"])
+                    "--preserve_color", "match"])
+
+
+class TestServingLuma:
+    """preserve_color='luma' folded into ArbitraryStylizer's jitted u8
+    roundtrip: the serving output keeps the content's chrominance."""
+
+    def test_serving_output_keeps_content_chroma(self):
+        from fast_neural_style_transfer_tpu.infer.adain import (
+            ArbitraryStylizer,
+        )
+        from fast_neural_style_transfer_tpu.models.adain import AdaINDecoder
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        rng = np.random.default_rng(0)
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+        style = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+
+        plain = ArbitraryStylizer(dec, vgg, bucket_multiple=8)
+        plain.set_style_u8(style)
+        luma = ArbitraryStylizer(dec, vgg, bucket_multiple=8,
+                                 preserve_color="luma")
+        luma.set_style_u8(style)
+        out_p = plain.stylize_u8(content).astype(np.float32)
+        out_l = luma.stylize_u8(content).astype(np.float32)
+
+        iq = lambda v: np.einsum("...c,dc->...d", v / 255.0,
+                                 _RGB2YIQ)[..., 1:]
+        c_iq = iq(content.astype(np.float32))
+        # the luma output's chrominance is much closer to the content's
+        d_l = np.abs(iq(out_l) - c_iq).mean()
+        d_p = np.abs(iq(out_p) - c_iq).mean()
+        assert d_l < d_p * 0.5, (d_l, d_p)
+
+    def test_match_mode_rejected_for_serving(self):
+        from fast_neural_style_transfer_tpu.infer.adain import (
+            ArbitraryStylizer,
+        )
+        from fast_neural_style_transfer_tpu.models.adain import AdaINDecoder
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+
+        with pytest.raises(ValueError, match="cached style"):
+            ArbitraryStylizer(AdaINDecoder.init(jax.random.PRNGKey(0)),
+                              VGG19Features.init(jax.random.PRNGKey(1)),
+                              preserve_color="match")
