@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preserve_color", default="off", choices=["off", "luma"],
                    help="'luma' keeps only the stylized luminance and takes "
                         "chrominance from the content (Gatys color control; "
-                        "single-image modes)")
+                        "folded into the jitted forward, works in bulk too)")
     return p
 
 
@@ -73,9 +73,6 @@ def main(argv=None) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, args.output_name)
     if args.content_dir:
-        if args.preserve_color != "off":
-            raise SystemExit(
-                "--preserve_color currently applies to single-image modes")
         if args.spatial > 1:
             raise SystemExit(
                 "--content_dir and --spatial cannot be combined yet; run "
@@ -94,6 +91,7 @@ def main(argv=None) -> None:
             data_parallel=args.data_parallel,
             style=style,
             skip_bad_images=args.skip_bad_images,
+            preserve_color=args.preserve_color,
         )
         done = [w for w in written if w]
         print(f"saved {len(done)} stylized images to {args.output_dir}"

@@ -40,12 +40,24 @@ class Stylizer:
         precision: str = "f32",
         bucket_multiple: int = 64,
         sharding: Optional[Any] = None,
+        preserve_color: str = "off",
     ):
         """``sharding``: optional ``jax.sharding.Sharding`` for input
         batches (e.g. ``make_mesh_plan().batch_sharding``) — batches whose
         leading dim divides the mesh run data-parallel across chips, with
         params replicated; XLA handles the rest. Single-image and
-        non-divisible batches fall back to the default device."""
+        non-divisible batches fall back to the default device.
+
+        ``preserve_color='luma'`` folds Gatys color control into the jitted
+        u8 roundtrip (the content is already in-graph): stylized luminance
+        + content chrominance, zero extra transfers. Only meaningful on the
+        u8 path — the network-space ``__call__`` has no content reference
+        after its caller normalizes."""
+        if preserve_color not in ("off", "luma"):
+            raise ValueError(
+                f"preserve_color must be 'off' or 'luma' (got "
+                f"{preserve_color!r})")
+        self.preserve_color = preserve_color
         self.bucket_multiple = bucket_multiple
         if precision == "int8":
             # int8 MXU path: weights quantized once here, activations per
@@ -91,7 +103,23 @@ class Stylizer:
             u8_to_network_jnp,
         )
 
-        return network_to_u8_jnp(self._apply(p, u8_to_network_jnp(x_u8)))
+        y = self._apply(p, u8_to_network_jnp(x_u8))
+        if self.preserve_color == "luma":
+            from fast_neural_style_transfer_tpu.utils.color import (
+                luminance_transfer,
+            )
+            from fast_neural_style_transfer_tpu.utils.image_io import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+            )
+
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            y01 = luminance_transfer(
+                jnp.clip(y * std + mean, 0.0, 1.0),
+                x_u8.astype(jnp.float32) / 255.0)
+            return jnp.clip(jnp.round(y01 * 255.0), 0, 255).astype(jnp.uint8)
+        return network_to_u8_jnp(y)
 
     # -- constructors -------------------------------------------------------
 
@@ -248,26 +276,12 @@ def stylize_image_file(
     )
 
     stylizer = Stylizer.from_checkpoint(model_path, precision=precision,
-                                        style=style)
+                                        style=style,
+                                        preserve_color=preserve_color or "off")
     u8 = decode_image(content_path)
     if size is not None:
         u8 = resize_image(u8, size)
     out = stylizer.stylize_u8(u8)
-    if preserve_color == "luma":
-        import jax.numpy as jnp
-        import numpy as np
-
-        from fast_neural_style_transfer_tpu.utils.color import (
-            luminance_transfer,
-        )
-
-        o = luminance_transfer(
-            jnp.asarray(out[None], jnp.float32) / 255.0,
-            jnp.asarray(u8[None], jnp.float32) / 255.0,
-        )
-        out = np.clip(np.asarray(o)[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    elif preserve_color not in ("off", None):
-        raise ValueError(f"unknown preserve_color mode {preserve_color!r}")
     Image.fromarray(out).save(output_path)
     return output_path
 
@@ -284,6 +298,7 @@ def stylize_directory(
     data_parallel: bool = False,
     style=None,
     skip_bad_images: bool = False,
+    preserve_color: str = "off",
 ) -> list:
     """Stylize every image under ``content_dir`` into ``output_dir``.
 
@@ -315,7 +330,8 @@ def stylize_directory(
         plan.check_batch(batch_size)
         sharding = plan.batch_sharding
     stylizer = Stylizer.from_checkpoint(model_path, precision=precision,
-                                        sharding=sharding, style=style)
+                                        sharding=sharding, style=style,
+                                        preserve_color=preserve_color)
     return pipeline_directory(
         stylizer.stylize_u8, files, content_dir, output_dir,
         size=size, batch_size=batch_size, num_workers=num_workers,

@@ -212,3 +212,25 @@ class TestServingLuma:
             ArbitraryStylizer(AdaINDecoder.init(jax.random.PRNGKey(0)),
                               VGG19Features.init(jax.random.PRNGKey(1)),
                               preserve_color="match")
+
+
+def test_flagship_stylizer_luma_in_graph():
+    """Stylizer(preserve_color='luma'): the u8 roundtrip's output keeps the
+    content's chrominance, entirely in-graph."""
+    from fast_neural_style_transfer_tpu.infer.stylize import Stylizer
+    from fast_neural_style_transfer_tpu.models import TransformerNet
+
+    rng = np.random.default_rng(0)
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    content = rng.integers(0, 255, (1, 32, 32, 3), dtype=np.uint8)
+
+    plain = Stylizer(params, bucket_multiple=8).stylize_u8(content)
+    luma = Stylizer(params, bucket_multiple=8,
+                    preserve_color="luma").stylize_u8(content)
+    iq = lambda v: np.einsum("...c,dc->...d",
+                             v.astype(np.float32) / 255.0, _RGB2YIQ)[..., 1:]
+    c_iq = iq(content)
+    assert np.abs(iq(luma) - c_iq).mean() < np.abs(iq(plain) - c_iq).mean() * 0.5
+
+    with pytest.raises(ValueError, match="preserve_color"):
+        Stylizer(params, preserve_color="match")
