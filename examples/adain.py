@@ -82,6 +82,29 @@ def main(out_dir: str = "adain_out") -> None:
                    os.path.join(out_dir, f"served_a{a:.1f}.jpg"),
                    denormalize=False)  # stylize_u8 already returns pixels
 
+    # 6. color control (paper §7.2): keep the content's palette — 'match'
+    #    re-colors the style before encoding, luminance transfer swaps the
+    #    chrominance after; both pure jnp (utils/color.py)
+    from fast_neural_style_transfer_tpu.utils.color import (
+        luminance_transfer,
+        match_color,
+    )
+
+    out = stylize_arbitrary(state.params, vgg, c_img, match_color(s_new, c_img))
+    save_image(np.asarray(out), os.path.join(out_dir, "color_matched.jpg"))
+    out = stylize_arbitrary(state.params, vgg, c_img, s_new)
+    save_image(np.asarray(luminance_transfer(out, c_img)),
+               os.path.join(out_dir, "color_luma.jpg"))
+
+    # 7. spatial style control (paper §7.3): per-pixel masks paint each
+    #    content region with its own style
+    masks = np.zeros((2, 96, 96), np.float32)
+    masks[0, :, :48] = 1.0  # left half: s_new
+    masks[1, :, 48:] = 1.0  # right half: s_other
+    out = stylize_arbitrary(state.params, vgg, c_img, [s_new, s_other],
+                            style_masks=masks)
+    save_image(np.asarray(out), os.path.join(out_dir, "masked_styles.jpg"))
+
     final = os.path.join(out_dir, "adain_decoder.npz")
     save_params_npz(jax.device_get(state.params), final)
     print(f"wrote {sorted(os.listdir(out_dir))} to {out_dir}")

@@ -47,5 +47,6 @@ def test_adain_example(tmp_path):
     assert "loss" in out.lower()
     for name in ("arbitrary.jpg", "alpha0.0.jpg", "alpha1.0.jpg",
                  "interpolated.jpg", "served_a0.4.jpg", "served_a1.0.jpg",
+                 "color_matched.jpg", "color_luma.jpg", "masked_styles.jpg",
                  "adain_decoder.npz"):
         assert os.path.exists(tmp_path / name)
