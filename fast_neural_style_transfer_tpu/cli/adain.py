@@ -71,7 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "--style_image: paint each content region with its "
                         "own style (paper \u00a77.3 spatial control); resized "
                         "to the content, normalized per pixel. Mutually "
-                        "exclusive with --style_blend; single-image mode")
+                        "exclusive with --style_blend; single-image mode, "
+                        "incl. --spatial")
     s.add_argument("--output", default=None,
                    help="Output image path (single; default "
                         "adain_stylized.jpg) or directory (bulk; default "
@@ -340,18 +341,32 @@ def main(argv=None) -> None:
 
         styles = [match_color(s, content) for s in styles]
     if args.spatial > 1:
-        if args.style_masks:
-            raise SystemExit(
-                "--style_masks is not supported with --spatial yet")
         from fast_neural_style_transfer_tpu.infer.spatial_adain import (
             stylize_arbitrary_spatial,
         )
         from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
 
+        masks = None
+        if args.style_masks:
+            from PIL import Image
+
+            if len(args.style_masks) != len(styles):
+                raise SystemExit(
+                    f"{len(args.style_masks)} --style_masks for "
+                    f"{len(styles)} --style_image")
+            hh, ww = content.shape[1:3]
+            masks = np.stack([
+                np.asarray(
+                    Image.open(mp).convert("L").resize((ww, hh),
+                                                       Image.BILINEAR),
+                    np.float32) / 255.0
+                for mp in args.style_masks
+            ])
         plan = make_mesh_plan(spatial=args.spatial)
         out = stylize_arbitrary_spatial(
             decoder, vgg_params, content, styles, plan, alpha=args.alpha,
-            style_weights=args.style_blend, precision=prec)
+            style_weights=args.style_blend, style_masks=masks,
+            precision=prec)
         out = _maybe_luma(out, content, args.preserve_color)
         save_image(np.asarray(out), out_path)
         print(f"saved {out_path}")

@@ -30,7 +30,11 @@ from fast_neural_style_transfer_tpu.models.adain import (
     ENCODE_TAP,
     _DECODER_CFG,
     blended_style_stats,
+    channel_stats,
+    feature_masks,
+    resolve_style_weights,
 )
+from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
 from fast_neural_style_transfer_tpu.models.spatial import vgg_features_sharded
 from fast_neural_style_transfer_tpu.parallel.mesh import MeshPlan, shard_map_checked
 from fast_neural_style_transfer_tpu.ops import sharded as sh
@@ -163,6 +167,65 @@ def make_spatial_adain_forward(plan: MeshPlan, *,
     return jitted
 
 
+# (mesh, precision) -> jitted MASKED forward (paper §7.3 spatial style
+# control on the sharded path). Separate cache from _FWD_CACHE: the masked
+# program takes per-style stat STACKS and an H-sharded mask instead of one
+# folded (mu, sigma) pair.
+_FWD_MASKED_CACHE: dict = {}
+
+
+def make_spatial_adain_masked_forward(
+        plan: MeshPlan, *, precision: Precision = Precision.f32()):
+    """Jitted H-sharded AdaIN forward with per-pixel style masks.
+
+    Signature: ``fwd(dec, vgg, content, mu_stack, sigma_stack, masks_f,
+    alpha, active_h)``; ``mu_stack``/``sigma_stack`` are (S, 1, 1, 512)
+    per-style moments (replicated), ``masks_f`` the (S, H/8, W/8)
+    per-feature-pixel weights H-SHARDED over 'space' like the content —
+    the per-pixel interpolation folds the same way the scalar one does:
+    t = (sum_s m_s sigma_s) c_norm + sum_s m_s mu_s, computed per shard
+    with zero extra communication."""
+    if AXIS not in plan.mesh.axis_names:
+        raise ValueError(
+            "mesh has no 'space' axis; build with make_mesh_plan(spatial=N)")
+    key = (plan.mesh, precision)
+    cached = _FWD_MASKED_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def fwd(dec_params, vgg_params, content, mu_stack, sigma_stack,
+            masks_f, alpha, active_h):
+        (c_feat,) = vgg_features_sharded(
+            vgg_params, content, (ENCODE_TAP,), precision=precision,
+            axis=AXIS, extent=active_h)
+        e_f = active_h // 8
+        mu_c, sigma_c = channel_stats_sharded(c_feat, axis=AXIS, extent=e_f)
+        cf = c_feat.astype(jnp.float32)
+        c_norm = (cf - mu_c) / sigma_c
+        s = mu_stack.shape[0]
+        sig_eff = jnp.einsum("shw,sc->hwc", masks_f,
+                             sigma_stack.reshape(s, -1))[None]
+        mu_eff = jnp.einsum("shw,sc->hwc", masks_f,
+                            mu_stack.reshape(s, -1))[None]
+        t = sig_eff * c_norm + mu_eff
+        t = alpha * t + (1.0 - alpha) * cf
+        return adain_decoder_forward_sharded(
+            dec_params, t.astype(c_feat.dtype), precision=precision,
+            axis=AXIS, extent=e_f)
+
+    mapped = shard_map_checked(
+        fwd,
+        plan.mesh,
+        in_specs=(P(), P(), P(None, AXIS, None, None), P(), P(),
+                  P(None, AXIS, None), P(), P()),
+        out_specs=P(None, AXIS, None, None),
+        check=False,
+    )
+    jitted = jax.jit(mapped)
+    _FWD_MASKED_CACHE[key] = jitted
+    return jitted
+
+
 def stylize_arbitrary_spatial(
     decoder_params: Any,
     vgg_params: Any,
@@ -172,6 +235,7 @@ def stylize_arbitrary_spatial(
     *,
     alpha: float = 1.0,
     style_weights=None,
+    style_masks=None,
     precision: Precision = Precision.f32(),
 ) -> jnp.ndarray:
     """``models.adain.stylize_arbitrary`` with content H sharded over chips.
@@ -186,11 +250,31 @@ def stylize_arbitrary_spatial(
     moments, and the decoder's reflect boundaries (see
     ``make_spatial_adain_forward``). Style image(s) are encoded unsharded; a
     list interpolates styles exactly as the single-chip path does.
+
+    ``style_masks`` (S, H, W): per-pixel style weights (paper §7.3 spatial
+    control), mutually exclusive with ``style_weights``. Pooled to the
+    feature grid exactly like the single-device path, then H-sharded along
+    with the content — the per-pixel interpolation folds per shard with no
+    extra communication.
     """
     n_shards = plan.mesh.shape[AXIS]
-    # style moments, unsharded (styles are small relative to the content)
-    mu_s, sigma_s = blended_style_stats(vgg_params, style, style_weights,
-                                        precision=precision)
+    if style_masks is not None and style_weights is not None:
+        raise ValueError(
+            "style_masks and style_weights are mutually exclusive: masks "
+            "are per-pixel weights already")
+    if style_masks is None:
+        # style moments, unsharded (styles are small relative to the content)
+        mu_s, sigma_s = blended_style_stats(vgg_params, style, style_weights,
+                                            precision=precision)
+    else:
+        styles, _ = resolve_style_weights(style, None)
+        stats = []
+        for s_img in styles:
+            (s_feat,) = VGG19Features.apply(vgg_params, s_img, (ENCODE_TAP,),
+                                            precision=precision)
+            stats.append(channel_stats(s_feat))
+        mu_s = jnp.concatenate([m for m, _ in stats], axis=0)     # (S,1,1,C)
+        sigma_s = jnp.concatenate([sd for _, sd in stats], axis=0)
 
     n, h, w_, c = content.shape
     # stage 1: the single-device path's own canonical pad — byte-for-byte
@@ -207,9 +291,29 @@ def stylize_arbitrary_spatial(
     target_h = max(-(-h8 // mult) * mult, 16 * n_shards)
     if target_h > h8:
         x = jnp.pad(x, ((0, 0), (0, target_h - h8), (0, 0), (0, 0)))
-    fwd = make_spatial_adain_forward(plan, precision=precision)
-    out = fwd(decoder_params, vgg_params, x, mu_s, sigma_s,
-              jnp.asarray(alpha, jnp.float32), jnp.asarray(h8, jnp.int32))
+    if style_masks is None:
+        fwd = make_spatial_adain_forward(plan, precision=precision)
+        out = fwd(decoder_params, vgg_params, x, mu_s, sigma_s,
+                  jnp.asarray(alpha, jnp.float32), jnp.asarray(h8, jnp.int32))
+    else:
+        # the single-device pad recipe for masks, stage by stage: edge-pad
+        # to the canonical (h8, w8) so mask pixels keep tracking content
+        # pixels, pool to the feature grid, then zero-fill the dead slab
+        # rows (they land past the active extent and never enter the math)
+        m = jnp.asarray(style_masks, jnp.float32)
+        if m.ndim != 3 or m.shape[1:] != (h, w_):
+            raise ValueError(
+                f"style_masks must be (S, {h}, {w_}); got {m.shape}")
+        ph1, pw1 = h8 - h, x.shape[2] - w_
+        if ph1 or pw1:
+            m = jnp.pad(m, ((0, 0), (0, ph1), (0, pw1)), mode="edge")
+        masks_f = feature_masks(m, (h8, x.shape[2]), m.shape[0])
+        if target_h > h8:
+            masks_f = jnp.pad(
+                masks_f, ((0, 0), (0, (target_h - h8) // 8), (0, 0)))
+        fwd = make_spatial_adain_masked_forward(plan, precision=precision)
+        out = fwd(decoder_params, vgg_params, x, mu_s, sigma_s, masks_f,
+                  jnp.asarray(alpha, jnp.float32), jnp.asarray(h8, jnp.int32))
     if (target_h, x.shape[2]) != (h, w_):
         # crop host-side: slicing a sharded dim to a non-divisible extent is
         # not expressible as a sharded op

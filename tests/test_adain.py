@@ -1056,6 +1056,45 @@ class TestSpatialStyleControl:
         np.testing.assert_allclose(mf[:, 0, :], [[1.0, 1.0], [0.0, 0.0]])
         np.testing.assert_allclose(mf[:, 1, :], 0.5)  # dead region: uniform
 
+    def test_sharded_masks_match_single_device(self):
+        """Masked stylization on the H-sharded path == single-device at
+        aligned AND odd sizes (the per-pixel folding plus the active-extent
+        machinery; masks shard along with the content)."""
+        from fast_neural_style_transfer_tpu.core.shapes import (
+            pad_to_multiple_reflect,
+        )
+        from fast_neural_style_transfer_tpu.infer.spatial_adain import (
+            stylize_arbitrary_spatial,
+        )
+        from fast_neural_style_transfer_tpu.parallel import make_mesh_plan
+
+        vgg, dec, _, s1, s2 = self._setup()
+        plan = make_mesh_plan(spatial=4)
+        rng = np.random.default_rng(7)
+        for h, w in ((64, 40), (70, 50)):
+            content = jnp.asarray(rng.normal(size=(1, h, w, 3)), jnp.float32)
+            masks = np.zeros((2, h, w), np.float32)
+            masks[0, :, : w // 2] = 1.0
+            masks[1, :, w // 2:] = 1.0
+            got = stylize_arbitrary_spatial(
+                dec, vgg, content, [s1, s2], plan, alpha=0.9,
+                style_masks=masks)
+            canon, _ = pad_to_multiple_reflect(content, 8)
+            h8, w8 = canon.shape[1:3]
+            m_canon = np.pad(masks, ((0, 0), (0, h8 - h), (0, w8 - w)),
+                             mode="edge")
+            ref = np.asarray(stylize_arbitrary(
+                dec, vgg, canon, [s1, s2], alpha=0.9,
+                style_masks=m_canon))[:, :h, :w, :]
+            assert got.shape == content.shape
+            np.testing.assert_allclose(np.asarray(got), ref,
+                                       rtol=2e-4, atol=2e-4)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            stylize_arbitrary_spatial(
+                dec, vgg, content, [s1, s2], plan,
+                style_masks=np.ones((2, h, w), np.float32),
+                style_weights=[0.5, 0.5])
+
     def test_validation(self):
         vgg, dec, content, s1, s2 = self._setup()
         h, w = content.shape[1:3]
@@ -1108,9 +1147,11 @@ class TestSpatialStyleControl:
         out = np.asarray(Image.open(out_p))
         assert out.shape == (41, 50, 3)
 
-        with pytest.raises(SystemExit, match="--style_masks"):
-            adain_main(["stylize", "--decoder", dec_p,
-                        "--content_image", paths["content"],
-                        "--style_image", paths["s1"],
-                        "--style_masks", paths["m1"],
-                        "--spatial", "4"])
+        # masks also run on the H-sharded path (8-dev virtual mesh)
+        out_sp = str(tmp_path / "out_spatial.jpg")
+        adain_main(["stylize", "--decoder", dec_p,
+                    "--content_image", paths["content"],
+                    "--style_image", paths["s1"], paths["s2"],
+                    "--style_masks", paths["m1"], paths["m2"],
+                    "--spatial", "4", "--output", out_sp])
+        assert np.asarray(Image.open(out_sp)).shape == (41, 50, 3)

@@ -72,6 +72,21 @@ else
   log "stage 4 already done"
 fi
 
+# ---- stage 4.5: remat chip datapoints — step-time A/B (expected ~+1
+# forward) and XLA's compiled memory analysis per (batch, remat) ----
+if [ ! -f "$EV/remat_probe_r3.jsonl" ]; then
+  log "stage 4.5: probe_remat flagship + adain"
+  { timeout -k 30 3600 python tools/probe_remat.py 20 96 2>>"$EV/remat_probe_r3.err";
+    timeout -k 30 2400 python tools/probe_remat.py 8 32 --family adain 2>>"$EV/remat_probe_r3.err";
+  } | tee "$EV/remat_probe_r3.jsonl"
+  log "stage 4.5: memory_probe flagship + adain"
+  { timeout -k 30 3600 python tools/memory_probe.py 96 192 --precision bf16 2>>"$EV/remat_probe_r3.err";
+    timeout -k 30 2400 python tools/memory_probe.py 32 --family adain --precision bf16 2>>"$EV/remat_probe_r3.err";
+  } | tee "$EV/memory_probe_r3.jsonl"
+else
+  log "stage 4.5 already done"
+fi
+
 # ---- stage 5: the reference's actual recipe length — 40k steps at the
 # throughput batch (README.md:80-94 recipe is 40k; config.py default 80k).
 # Long-horizon evidence 10k cannot give: metrics growth, host-memory creep,
