@@ -259,6 +259,7 @@ class TestONNXExport:
             rtol=1e-3, atol=1e-4,
         )
 
+    @pytest.mark.slow
     def test_alpha_as_runtime_input(self, tmp_path):
         """alpha='input' exposes a scalar graph input: one artifact, any
         strength at runtime — matches the native path at each alpha."""
