@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "weights via --style_blend)")
     e.add_argument("--style_blend", type=float, nargs="+", default=None,
                    metavar="W")
+    e.add_argument("--preserve_color", default="off", choices=["off", "luma"],
+                   help="'luma' bakes Gatys color control into the ONNX "
+                        "graph: the artifact's output keeps the content's "
+                        "chrominance (ONNX-only)")
     return p
 
 
@@ -220,6 +224,8 @@ def main(argv=None) -> None:
                 raise SystemExit(
                     "--style_image baking is ONNX-only; the TorchScript "
                     "artifact keeps the style as a runtime input")
+            if args.preserve_color != "off":
+                raise SystemExit("--preserve_color is ONNX-only")
             if args.alpha == "input":
                 raise SystemExit(
                     "--alpha input is ONNX-only; TorchScript traces bake "
@@ -254,6 +260,7 @@ def main(argv=None) -> None:
                 content_shape=(1, 3, *args.content_shape),
                 style_shape=(1, 3, *args.style_shape),
                 baked_style=baked,
+                preserve_color=args.preserve_color,
             )
             print(f"wrote {args.onnx}"
                   + (" (baked style, single input)" if baked is not None

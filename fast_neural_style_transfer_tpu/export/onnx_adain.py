@@ -100,8 +100,8 @@ class _AdaINBuilder(_GraphBuilder):
         name = self.fresh("const")
         return self.init_tensor(name, np.asarray(value, np.float32))
 
-    def binop(self, op: str, a: str, b: str) -> str:
-        out = self.fresh(op.lower())
+    def binop(self, op: str, a: str, b: str, out: str = "") -> str:
+        out = out or self.fresh(op.lower())
         self.nodes.append(ow.node(op, [a, b], [out]))
         return out
 
@@ -123,6 +123,36 @@ class _AdaINBuilder(_GraphBuilder):
         )
         return mu, sd
 
+    def conv1x1_const(self, x: str, name: str, w_oihw: np.ndarray,
+                      out: str = "") -> str:
+        """Pointwise conv with a constant weight — how channel mixes (the
+        RGB<->YIQ changes of basis) are expressed without Slice/Concat."""
+        w = self.init_tensor(name, np.asarray(w_oihw, np.float32))
+        o = out or self.fresh("mix")
+        self.nodes.append(
+            ow.node("Conv", [x, w], [o], strides=[1, 1], kernel_shape=[1, 1]))
+        return o
+
+    def stats_raw(self, x: str):
+        """(mean, sqrt(var)) over H, W — NO epsilon, matching
+        utils.color.luminance_transfer's formula exactly."""
+        mu = self.fresh("mean")
+        self.nodes.append(
+            ow.node("ReduceMean", [x], [mu], axes=[2, 3], keepdims=1))
+        d = self.binop("Sub", x, mu)
+        var = self.fresh("var")
+        self.nodes.append(
+            ow.node("ReduceMean", [self.binop("Mul", d, d)], [var],
+                    axes=[2, 3], keepdims=1))
+        sd = self.fresh("std")
+        self.nodes.append(ow.node("Sqrt", [var], [sd]))
+        return mu, sd
+
+    def channel_affine(self, name: str, vec: np.ndarray) -> str:
+        """(1, 3, 1, 1) per-channel constant (the ImageNet mean/std)."""
+        return self.init_tensor(name, np.asarray(vec, np.float32)
+                                .reshape(1, 3, 1, 1))
+
     def vgg_to_relu4_1(self, x: str) -> str:
         """VGG19 feature walk up to the AdaIN encode tap."""
         for name, cout in VGG_CFG:
@@ -143,6 +173,7 @@ def build_adain_onnx(
     content_shape: Sequence[Union[int, str]] = (1, 3, 256, 256),
     style_shape: Sequence[Union[int, str]] = (1, 3, 256, 256),
     baked_style=None,
+    preserve_color: str = "off",
     opset_version: int = 11,
 ) -> bytes:
     """Serialize the arbitrary-style pipeline to ONNX ModelProto bytes.
@@ -159,7 +190,14 @@ def build_adain_onnx(
 
     ``alpha``: a float bakes that strength into the graph; the string
     ``"input"`` adds a scalar ``alpha`` graph input instead, so the
-    artifact keeps the family's runtime strength knob."""
+    artifact keeps the family's runtime strength knob.
+
+    ``preserve_color='luma'`` bakes Gatys color control into the artifact:
+    the decoder output keeps only its luminance, chrominance comes from the
+    content input — de-normalize both, change basis to YIQ (pointwise
+    constant convs: no Slice/Concat needed), shift the stylized Y to the
+    content Y's mean/std, mix back, re-normalize. Matches
+    ``utils.color.luminance_transfer`` exactly (same no-epsilon stats)."""
     shapes = [(content_shape, "content")]
     if baked_style is None:
         shapes.append((style_shape, "style"))
@@ -217,15 +255,62 @@ def build_adain_onnx(
             g.binop("Mul", c_feat, g.scalar(1.0 - float(alpha))),
         )
 
+    if preserve_color not in ("off", "luma"):
+        raise ValueError(
+            f"preserve_color must be 'off' or 'luma' (got {preserve_color!r});"
+            " 'match' re-colors the style pixels per content and cannot be a"
+            " fixed graph")
     h = t
     last = len(_DECODER_CFG) - 1
+    final_name = OUTPUT_NAME if preserve_color == "off" else ""
     for i, (_, up) in enumerate(_DECODER_CFG):
         if up:
             h = g.upsample2x(h)
         h = g.reflect_conv(h, f"decoder.{i}", 3, 1,
-                           out=OUTPUT_NAME if i == last else "")
+                           out=final_name if i == last else "")
         if i != last:
             h = g.relu(h)
+
+    if preserve_color == "luma":
+        # Gatys color control, graph-resident: stylized LUMINANCE (shifted
+        # to the content's Y mean/std, utils/color.py formula verbatim) +
+        # content CHROMINANCE, via YIQ changes of basis as pointwise convs
+        from fast_neural_style_transfer_tpu.utils.color import (
+            _RGB2YIQ,
+            _YIQ2RGB,
+        )
+        from fast_neural_style_transfer_tpu.utils.image_io import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        m = np.asarray(_RGB2YIQ, np.float64)
+        a = np.asarray(_YIQ2RGB, np.float64)
+        mean = g.channel_affine("imagenet.mean", IMAGENET_MEAN)
+        std = g.channel_affine("imagenet.std", IMAGENET_STD)
+        s01 = g.binop("Add", g.binop("Mul", h, std), mean)
+        c01 = g.binop("Add", g.binop("Mul", CONTENT_NAME, std), mean)
+        rgb2y = m[0:1].reshape(1, 3, 1, 1)
+        y_s = g.conv1x1_const(s01, "color.rgb2y", rgb2y)
+        y_c = g.conv1x1_const(c01, "color.rgb2y", rgb2y)
+        mu_sy, sd_sy = g.stats_raw(y_s)
+        mu_cy, sd_cy = g.stats_raw(y_c)
+        y_new = g.binop(
+            "Add",
+            g.binop("Mul",
+                    g.binop("Div", g.binop("Sub", y_s, mu_sy),
+                            g.binop("Add", sd_sy, g.scalar(1e-6))),
+                    sd_cy),
+            mu_cy,
+        )
+        out01 = g.binop(
+            "Add",
+            g.conv1x1_const(y_new, "color.y2rgb",
+                            a[:, :1].reshape(3, 1, 1, 1)),
+            g.conv1x1_const(c01, "color.iq2rgb",
+                            (a[:, 1:] @ m[1:]).reshape(3, 3, 1, 1)),
+        )
+        g.binop("Div", g.binop("Sub", out01, mean), std, out=OUTPUT_NAME)
 
     out_shape = list(content_shape)
     for i in (2, 3):

@@ -228,6 +228,57 @@ class TestTrainStep:
 
 class TestONNXExport:
     @pytest.mark.slow
+    def test_preserve_color_luma_in_graph_matches_native(self, tmp_path):
+        """preserve_color='luma' baked into the ONNX graph (YIQ changes of
+        basis as pointwise convs, no-eps stats) == stylize_arbitrary
+        followed by utils.color.luminance_transfer in [0,1] space."""
+        from fast_neural_style_transfer_tpu.export.onnx_adain import (
+            export_adain_onnx,
+        )
+        from fast_neural_style_transfer_tpu.export.onnx_runtime import (
+            run_model,
+        )
+        from fast_neural_style_transfer_tpu.models.vgg import VGG19Features
+        from fast_neural_style_transfer_tpu.utils.color import (
+            luminance_transfer,
+        )
+        from fast_neural_style_transfer_tpu.utils.image_io import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        vgg = VGG19Features.init(jax.random.PRNGKey(0))
+        dec = AdaINDecoder.init(jax.random.PRNGKey(1))
+        content = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        style = jax.random.normal(jax.random.PRNGKey(3), (1, 40, 48, 3))
+
+        path = str(tmp_path / "adain_luma.onnx")
+        export_adain_onnx(dec, vgg, path, alpha=0.8,
+                          content_shape=(1, 3, 32, 32),
+                          style_shape=(1, 3, 40, 48),
+                          preserve_color="luma")
+        with open(path, "rb") as f:
+            data = f.read()
+        (out,) = run_model(data, {
+            "content_image": np.transpose(np.asarray(content), (0, 3, 1, 2)),
+            "style_image": np.transpose(np.asarray(style), (0, 3, 1, 2)),
+        })
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        raw = stylize_arbitrary(dec, vgg, content, style, alpha=0.8)
+        want01 = luminance_transfer(raw * std + mean, content * std + mean)
+        want = (want01 - mean) / std
+        # atol 5e-4: the Y-stat chain's f32 accumulation-order noise (~8e-5
+        # in [0,1] space) is amplified ~4.4x by the final /std
+        np.testing.assert_allclose(
+            np.transpose(out, (0, 2, 3, 1)), np.asarray(want),
+            rtol=1e-3, atol=5e-4,
+        )
+        with pytest.raises(ValueError, match="preserve_color"):
+            export_adain_onnx(dec, vgg, str(tmp_path / "x.onnx"),
+                              preserve_color="match")
+
+    @pytest.mark.slow
     def test_exported_pipeline_matches_native(self, tmp_path):
         """The exported two-input graph, executed by the mini ONNX runtime,
         must reproduce stylize_arbitrary — verifying the whole opset-11
