@@ -31,6 +31,17 @@ if [ "$ready" != 1 ]; then
   exit 1
 fi
 
+# ---- stage 0.5: synthesize the soak datasets (CPU-only; /tmp does not
+# survive VM restarts, so create-if-missing before every soak stage) ----
+if [ ! -d /tmp/soak_ds ]; then
+  log "stage 0.5: soak dataset"
+  JAX_PLATFORMS=cpu timeout -k 30 1200 python tools/soak.py dataset
+fi
+if [ ! -d /tmp/adain_content ] || [ ! -d /tmp/adain_style ]; then
+  log "stage 0.5: adain datasets"
+  JAX_PLATFORMS=cpu timeout -k 30 1200 python tools/adain_soak.py dataset
+fi
+
 # ---- stage 1: AdaIN probes (train-step scaling + inference p50) ----
 if [ ! -f "$EV/probe_adain_r3.log" ]; then
   log "stage 1: probe_adain train"
@@ -59,9 +70,13 @@ else
 fi
 
 # ---- stage 3: full bench capture (flagship + AdaIN fields) ----
-log "stage 3: bench.py full capture"
-timeout -k 30 3600 python bench.py 2>"$EV/bench_local_r3.err" \
-  | tee "$EV/bench_local_r3.json"
+if [ ! -s "$EV/bench_local_r3.json" ]; then
+  log "stage 3: bench.py full capture"
+  timeout -k 30 3600 python bench.py 2>"$EV/bench_local_r3.err" \
+    | tee "$EV/bench_local_r3.json"
+else
+  log "stage 3 already done"
+fi
 
 # ---- stage 4: AdaIN step xprof attribution ----
 if [ ! -d "$EV/xprof_adain_b8" ]; then
