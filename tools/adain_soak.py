@@ -125,7 +125,7 @@ def report(outdir: str) -> None:
     ckpts = sorted(
         int(d) for d in os.listdir(os.path.join(outdir, "checkpoints"))
         if d.isdigit())
-    print(json.dumps({
+    rep = json.dumps({
         "logged_rows": len(steps),
         "max_step": max(steps),
         "duplicate_steps_after_resume": len(steps) - len(set(steps)),
@@ -135,7 +135,11 @@ def report(outdir: str) -> None:
         "nonfinite_skips": sum(r.get("skipped_nonfinite", 0) for r in rows),
         "final_npz": os.path.exists(
             os.path.join(outdir, "adain_decoder_final.npz")),
-    }, indent=2))
+    }, indent=2)
+    # the evidence artifact tools/chip_program_r3.sh gates stage 2 on
+    with open(os.path.join(outdir, "report.json"), "w") as f:
+        f.write(rep + "\n")
+    print(rep)
 
 
 if __name__ == "__main__":
