@@ -86,4 +86,38 @@ ad_out = styler.stylize_u8(batch[:, :64, :64], alpha=0.8)
 print(f"5. arbitrary-style DP serving: {batch[:, :64, :64].shape} -> "
       f"{ad_out.shape} (style cached, one VGG encode per frame)")
 
+# 6. online HTTP serving: concurrent requests micro-batched into one
+#    device batch per shape bucket (serve/batcher.py); in production run
+#    `fnst-serve --model final.npz --port 8765` instead
+import io
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+from PIL import Image
+
+from fast_neural_style_transfer_tpu.serve import make_server
+
+srv = make_server(sty.stylize_u8, family="flagship", port=0,
+                  max_wait_ms=200.0)
+threading.Thread(target=srv.serve_forever, daemon=True).start()
+buf = io.BytesIO()
+Image.fromarray(frame).save(buf, format="JPEG")
+
+
+def post(_):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.server_address[1]}/stylize",
+        data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.read()
+
+
+with ThreadPoolExecutor(max_workers=4) as ex:
+    replies = list(ex.map(post, range(4)))
+occ = srv.batcher.stats.snapshot()["mean_batch_occupancy"]
+print(f"6. HTTP micro-batching: 4 concurrent POSTs -> "
+      f"{len(replies)} JPEGs, mean batch occupancy {occ:.1f}")
+srv.shutdown()
+
 print(f"outputs under {out_dir}")

@@ -164,6 +164,11 @@ def make_server(
 
 def _build_forward(args) -> tuple:
     """Resolve CLI flags to (stylize_u8 callable, family label)."""
+    sharding = None
+    if args.data_parallel:
+        from fast_neural_style_transfer_tpu.parallel.mesh import make_mesh_plan
+
+        sharding = make_mesh_plan().batch_sharding
     if args.adain_decoder:
         if not args.style:
             raise SystemExit("--adain-decoder needs --style <image>")
@@ -178,7 +183,7 @@ def _build_forward(args) -> tuple:
         sty = ArbitraryStylizer(
             load_decoder(args.adain_decoder),
             resolve_params(args.vgg_weights),
-            precision=args.precision)
+            precision=args.precision, sharding=sharding)
         style = np.asarray(
             Image.open(args.style).convert("RGB"), dtype=np.uint8)
         sty.set_style_u8(style)
@@ -193,7 +198,7 @@ def _build_forward(args) -> tuple:
         style = args.style_index
     sty = Stylizer.from_checkpoint(
         args.model, style=style, precision=args.precision,
-        preserve_color=args.preserve_color)
+        preserve_color=args.preserve_color, sharding=sharding)
     return sty.stylize_u8, "flagship"
 
 
@@ -219,6 +224,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--size", type=int, default=0,
                    help=">0: resize every request to SIZE x SIZE (one "
                         "compiled program); 0: native sizes, bucketed")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard coalesced batches over every chip on the "
+                        "mesh (params replicated; batches whose size "
+                        "divides the mesh run data-parallel)")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--max_pending", type=int, default=256)

@@ -39,6 +39,7 @@ def test_serving_example(tmp_path):
     assert "data-parallel over 8 devices: identical output" in out
     assert "spatial (H over 4 shards)" in out
     assert "arbitrary-style DP serving" in out
+    assert "HTTP micro-batching: 4 concurrent POSTs -> 4 JPEGs" in out
     assert os.path.exists(tmp_path / "single.jpg")
 
 

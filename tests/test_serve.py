@@ -215,6 +215,50 @@ class TestHTTPServer:
             urllib.request.urlopen(f"{http_server}/nope", timeout=60)
         assert e.value.code == 404
 
+    def test_data_parallel_serving_coalesces_over_mesh(self):
+        """8 concurrent clients -> ONE b8 batch sharded over the 8-device
+        virtual mesh (serve + parallel wiring; DP numerical parity itself
+        is pinned in test_parallel.py)."""
+        import jax
+
+        from fast_neural_style_transfer_tpu.infer.stylize import Stylizer
+        from fast_neural_style_transfer_tpu.models.transformer import (
+            TransformerNet,
+        )
+        from fast_neural_style_transfer_tpu.parallel.mesh import make_mesh_plan
+        from fast_neural_style_transfer_tpu.serve import make_server
+
+        plan = make_mesh_plan()
+        assert plan.num_data_shards == 8
+        sty = Stylizer(TransformerNet.init(jax.random.PRNGKey(0)),
+                       sharding=plan.batch_sharding, bucket_multiple=32)
+        srv = make_server(sty.stylize_u8, family="flagship", port=0,
+                          max_batch=8, max_wait_ms=5000.0,
+                          bucket_multiple=32)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            img = np.random.default_rng(2).integers(
+                0, 255, (32, 32, 3), dtype=np.uint8)
+            body = _png_bytes(img)
+
+            def post(_):
+                req = urllib.request.Request(
+                    f"{base}/stylize", data=body, method="POST")
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    return r.read()
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                replies = list(ex.map(post, range(8)))
+            assert len(replies) == 8 and all(replies)
+            stats = srv.batcher.stats.snapshot()
+            assert stats["mean_batch_occupancy"] == 8.0
+        finally:
+            srv.shutdown()
+
     def test_stats_counts_requests(self, http_server):
         img = np.zeros((32, 32, 3), np.uint8)
         req = urllib.request.Request(
