@@ -254,6 +254,15 @@ def main(argv: Optional[list] = None) -> None:
     print(f"fnst-serve: {family} model on http://{host}:{port} "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms} ms)",
           flush=True)
+
+    # SIGTERM (the TPU-VM preemption signal) drains like Ctrl-C: stop
+    # accepting, finish in-flight batches, fail what's still queued.
+    import signal
+
+    def _term(signum, frame):
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -144,6 +144,38 @@ class TestMicroBatcher:
             b.submit(img)
 
 
+@pytest.mark.slow
+def test_cli_sigterm_drains(tmp_path):
+    """fnst-serve exits cleanly on SIGTERM (the TPU-VM preemption signal)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import jax
+
+    from fast_neural_style_transfer_tpu.models.transformer import TransformerNet
+    from fast_neural_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    ckpt = str(tmp_path / "m.npz")
+    save_params_npz(TransformerNet.init(jax.random.PRNGKey(0)), ckpt)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fast_neural_style_transfer_tpu.serve",
+         "--model", ckpt, "--cpu", "--port", "0", "--size", "64",
+         "--precision", "f32"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        line = proc.stdout.readline()  # blocks until post-warmup banner
+        assert "fnst-serve:" in line
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 @pytest.fixture(scope="module")
 def http_server():
     """Real Stylizer (random params, CPU) behind the HTTP front end."""
