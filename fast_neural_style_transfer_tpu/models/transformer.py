@@ -189,6 +189,9 @@ class TransformerNet:
         precision: Precision = Precision.f32(),
         norm_method: str = "auto",
         style_weights: Optional[jnp.ndarray] = None,
+        in_stats: Optional[list] = None,
+        stats_blend: float = 1.0,
+        return_stats: bool = False,
     ) -> jnp.ndarray:
         """NHWC forward. H and W must be multiples of 4 for exact round-trip.
 
@@ -200,6 +203,20 @@ class TransformerNet:
         ``style_weights`` (multi-style params only): (S,) weights applied to
         the whole batch, or (B, S) per-example rows. Selection is a tiny
         matmul against each (S, C) affine bank — jit-friendly, no gathers.
+
+        Frozen-statistics temporal stabilization (infer/video.py): IN's
+        per-frame moments are the stylizer's main flicker source on video —
+        small content shifts move every layer's mean/var, re-exposing the
+        whole frame (Gupta et al. 2017 §3 observe the same instability for
+        per-frame normalization). ``return_stats=True`` additionally returns
+        the list of f32 ``(mean, var)`` pairs (one per IN site, (B,1,1,C))
+        this forward normalized with; passing such a list back as
+        ``in_stats`` (typically captured from a reference frame with B=1 —
+        it broadcasts over any frame batch) normalizes with
+        ``stats_blend * ref + (1 - stats_blend) * per_frame`` moments
+        instead. ``stats_blend=1.0`` freezes statistics entirely;
+        intermediate values trade stability against adaptation to scene
+        changes. Capture composes: apply-with-own-stats == plain apply.
         """
         multi = params["norm1"]["gamma"].ndim == 2
         if multi and style_weights is None:
@@ -211,6 +228,11 @@ class TransformerNet:
             raise ValueError("style_weights given but params are single-style")
         if multi:
             style_weights = jnp.asarray(style_weights, jnp.float32)
+        n_sites = 4 + 2 * NUM_RES_BLOCKS
+        if in_stats is not None and len(in_stats) != n_sites:
+            raise ValueError(
+                f"in_stats has {len(in_stats)} entries; this net has "
+                f"{n_sites} IN sites (capture with return_stats=True)")
 
         in_dtype = x.dtype
         x = x.astype(precision.compute_dtype)
@@ -225,6 +247,9 @@ class TransformerNet:
                                  output_padding=1, accum_dtype=precision.accum_dtype)
             return h.astype(precision.compute_dtype)
 
+        sites_seen = [0]
+        stats_out: list = []
+
         def inorm(h, p, *, relu):
             gamma, beta = p["gamma"], p["beta"]
             if multi:
@@ -232,8 +257,25 @@ class TransformerNet:
                 # broadcasts either over (B,H,W,C)
                 gamma = style_weights @ gamma
                 beta = style_weights @ beta
-            return instance_norm(h, gamma, beta, relu=relu,
-                                 method=norm_method)
+            site, sites_seen[0] = sites_seen[0], sites_seen[0] + 1
+            if in_stats is None and not return_stats:
+                return instance_norm(h, gamma, beta, relu=relu,
+                                     method=norm_method)
+            from fast_neural_style_transfer_tpu.ops import (
+                apply_instance_norm_stats,
+                instance_norm_stats,
+            )
+
+            mean, var = instance_norm_stats(h)
+            if return_stats:
+                stats_out.append((mean, var))
+            if in_stats is not None:
+                rm, rv = in_stats[site]
+                a = float(stats_blend)
+                mean = a * rm + (1.0 - a) * mean
+                var = a * rv + (1.0 - a) * var
+            return apply_instance_norm_stats(h, mean, var, gamma, beta,
+                                             relu=relu)
 
         # encoder
         h = inorm(cin(params["conv1"], x, stride=2), params["norm1"], relu=True)
@@ -258,7 +300,10 @@ class TransformerNet:
         h = inorm(ctr(params["up1"], h), params["norm3"], relu=True)
         h = inorm(ctr(params["up2"], h), params["norm4"], relu=True)
         out = cin(params["final_conv"], h)
-        return out.astype(in_dtype)
+        out = out.astype(in_dtype)
+        if return_stats:
+            return out, stats_out
+        return out
 
     @staticmethod
     def param_count(params: Params) -> int:

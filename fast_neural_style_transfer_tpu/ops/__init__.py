@@ -4,7 +4,11 @@ from fast_neural_style_transfer_tpu.ops.conv import (
     conv_transpose2d,
     max_pool2d,
 )
-from fast_neural_style_transfer_tpu.ops.norm import instance_norm
+from fast_neural_style_transfer_tpu.ops.norm import (
+    apply_instance_norm_stats,
+    instance_norm,
+    instance_norm_stats,
+)
 from fast_neural_style_transfer_tpu.ops.gram import gram_matrix
 
 __all__ = [
@@ -13,5 +17,7 @@ __all__ = [
     "conv_transpose2d",
     "max_pool2d",
     "instance_norm",
+    "instance_norm_stats",
+    "apply_instance_norm_stats",
     "gram_matrix",
 ]

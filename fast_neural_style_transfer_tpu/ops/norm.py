@@ -32,18 +32,39 @@ def _affine_f32(p, x_ndim):
     return p
 
 
-def _xla_instance_norm(x, gamma, beta, *, eps: float, relu: bool):
-    orig_dtype = x.dtype
+def instance_norm_stats(x):
+    """Per-(sample, channel) spatial moments of a (B, H, W, C) activation:
+    float32 ``(mean, var)`` each shaped (B, 1, 1, C). The biased variance is
+    computed stably around the mean. These are exactly the statistics
+    ``instance_norm`` normalizes with — exposed so callers can capture them
+    from one input and re-apply them to another (frozen-statistics temporal
+    stabilization for video, infer/video.py)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    # biased variance, computed stably around the mean
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
-    inv = lax.rsqrt(var + eps)
-    out = (xf - mean) * inv
+    return mean, var
+
+
+def apply_instance_norm_stats(x, mean, var, gamma, beta, *,
+                              eps: float = 1e-5, relu: bool = False):
+    """Normalize ``x`` with externally supplied moments (broadcastable
+    against (B, H, W, C), e.g. a reference frame's (1, 1, 1, C) stats) and
+    the learned affine. With ``instance_norm_stats(x)`` this composes to
+    exactly ``instance_norm(x, ...)``."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    inv = lax.rsqrt(var.astype(jnp.float32) + eps)
+    out = (xf - mean.astype(jnp.float32)) * inv
     out = out * _affine_f32(gamma, xf.ndim) + _affine_f32(beta, xf.ndim)
     if relu:
         out = jnp.maximum(out, 0.0)
     return out.astype(orig_dtype)
+
+
+def _xla_instance_norm(x, gamma, beta, *, eps: float, relu: bool):
+    mean, var = instance_norm_stats(x)
+    return apply_instance_norm_stats(x, mean, var, gamma, beta,
+                                     eps=eps, relu=relu)
 
 
 def instance_norm(
