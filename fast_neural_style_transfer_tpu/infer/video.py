@@ -42,6 +42,13 @@ from fast_neural_style_transfer_tpu.utils.image_io import (
 _FRAME_EXTS = (".png", ".jpg", ".jpeg")
 
 
+def _natural_key(name: str):
+    """Sort key splitting digit runs so frame_2 < frame_10."""
+    import re
+
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+
+
 class VideoStylizer:
     """Stylize frame sequences with IN statistics frozen to a reference frame.
 
@@ -50,6 +57,13 @@ class VideoStylizer:
     stylizer; intermediate values blend, trading stability against
     adaptation to scene changes. ``stabilize=False`` skips capture entirely
     (baseline / A-B comparisons).
+
+    One instance is per-clip: the reference statistics are captured once
+    (from frame 0 on first use, or via ``set_reference``) and cached. To
+    reuse an instance on a second, unrelated clip call ``reset_reference()``
+    first — otherwise the new clip is silently stabilized to the old clip's
+    reference frame (``stylize_video_file`` constructs a fresh instance per
+    clip).
     """
 
     def __init__(
@@ -127,6 +141,11 @@ class VideoStylizer:
         padded, _ = self._pad(np.asarray(frame_u8)[None])
         self._stats = jax.tree.map(jnp.asarray, self._capture(self.params, padded))
 
+    def reset_reference(self) -> None:
+        """Drop the cached reference statistics so the next clip captures
+        its own frame 0 (reuse one instance across unrelated clips)."""
+        self._stats = None
+
     # -- forward -------------------------------------------------------------
 
     def stylize_frames(
@@ -163,15 +182,31 @@ class VideoStylizer:
         return out
 
 
-def flicker_score(frames_u8: np.ndarray) -> float:
-    """Mean absolute inter-frame difference of a clip (uint8 scale). A
-    proxy for temporal flicker: identical consecutive frames score 0. Used
-    by tests/benchmarks to show frozen statistics reduce flicker relative
-    to per-frame normalization on slowly-moving content."""
+def flicker_score(
+    frames_u8: np.ndarray, mask: Optional[np.ndarray] = None
+) -> float:
+    """Mean absolute inter-frame difference of a clip (uint8 scale).
+
+    Identical consecutive frames score 0. NOTE: on the whole frame this
+    counts genuine content motion too, so it only isolates *normalization*
+    flicker when the moving content is a small fraction of the frame. For a
+    clean re-exposure measurement pass ``mask`` — an (H, W) bool array
+    selecting static pixels (True = include): there, any inter-frame change
+    is flicker by construction. With frozen IN statistics, static pixels
+    outside the moving content's receptive field are bitwise stable (score
+    exactly 0.0); per-frame normalization provably re-exposes them because
+    the frame's global moments drift (DESIGN.md §13)."""
     f = np.asarray(frames_u8, np.float32)
     if f.shape[0] < 2:
         return 0.0
-    return float(np.abs(np.diff(f, axis=0)).mean())
+    d = np.abs(np.diff(f, axis=0))
+    if mask is not None:
+        mask = np.asarray(mask, bool)
+        if mask.shape != f.shape[1:3]:
+            raise ValueError(
+                f"mask shape {mask.shape} != frame spatial shape {f.shape[1:3]}")
+        d = d[:, mask, :]
+    return float(d.mean())
 
 
 # -- IO (frame dirs + GIF; no codec deps in this image) -----------------------
@@ -185,8 +220,12 @@ def read_frames(path: str, *, size: Optional[Tuple[int, int]] = None,
 
     frames: List[np.ndarray] = []
     if os.path.isdir(path):
+        # natural sort: frame_2.png orders before frame_10.png even without
+        # zero padding (lexicographic order would corrupt both the output
+        # ordering and the frame-0 reference-statistics capture)
         names = sorted(
-            f for f in os.listdir(path) if f.lower().endswith(_FRAME_EXTS))
+            (f for f in os.listdir(path) if f.lower().endswith(_FRAME_EXTS)),
+            key=_natural_key)
         if not names:
             raise FileNotFoundError(f"no frames under {path}")
         for name in names[:max_frames]:

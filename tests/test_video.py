@@ -2,9 +2,10 @@
 
 The stabilization contract (infer/video.py): capturing a forward's own IN
 moments and re-injecting them reproduces the plain forward exactly; frozen
-reference statistics reduce temporal flicker on moving content versus the
+reference statistics remove normalization re-exposure — static pixels outside
+the moving content's receptive field are bitwise stable, whereas the
 reference's per-frame normalization (/root/reference/inference.py applied
-frame-by-frame)."""
+frame-by-frame) provably changes them (DESIGN.md §13)."""
 
 import os
 
@@ -90,15 +91,72 @@ def test_wrong_stats_length_rejected(params):
 # -- VideoStylizer ------------------------------------------------------------
 
 
-def test_stabilization_reduces_flicker(params):
-    frames = _clip(n=6)
+def _reexposure_clip(n=6, h=160, w=160, seed=0):
+    """Static textured background; a bright disk grows in the TOP-LEFT
+    corner only. The frame is large enough that the bottom-right block lies
+    outside the net's ~107 px receptive field of every changed pixel
+    (DESIGN.md §13), so any inter-frame change there is pure normalization
+    re-exposure, not content."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 120, (h, w, 3), dtype=np.uint8)
+    base = ((base.astype(np.int32) + np.roll(base, 1, 0) + np.roll(base, 1, 1))
+            // 3).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        f = base.copy()
+        r = 8 + 2 * i
+        mask = (yy - 28) ** 2 + (xx - 28) ** 2 <= r * r
+        f[mask] = 235
+        frames.append(f)
+    return np.stack(frames)
+
+
+def test_stabilization_removes_reexposure_flicker(params):
+    """The honest stabilization claim (root-caused in round 4, DESIGN.md
+    §13): frozen IN statistics make static pixels outside the moving
+    content's receptive field BITWISE stable (flicker exactly 0), while
+    per-frame normalization provably re-exposes them — the local change
+    drifts the frame's global moments, and those moments renormalize every
+    pixel. A whole-frame metric only shows the win when moving content is a
+    small fraction of the frame (here it is); on content-dominated frames
+    per-frame IN's gain control can compress genuine content change below
+    the re-exposure it adds, which is why the old 64x64 growing-disk test
+    was wrong, not the feature."""
+    frames = _reexposure_clip()
     stable = VideoStylizer(params, stabilize=True).stylize_frames(frames)
     plain = VideoStylizer(params, stabilize=False).stylize_frames(frames)
     assert stable.shape == frames.shape and stable.dtype == np.uint8
-    # frozen statistics must strictly reduce inter-frame variation when the
-    # content's global moments drift (the growing disk moves every frame's
-    # channel mean/var; per-frame IN turns that into whole-frame re-exposure)
+    bg = np.zeros(frames.shape[1:3], bool)
+    bg[-32:, -32:] = True  # ~150 px from the disk, RF ~107 px
+    # theorem: frozen stats -> static region bitwise stable
+    assert flicker_score(stable, mask=bg) == 0.0
+    # per-frame IN re-exposes the same untouched pixels
+    assert flicker_score(plain, mask=bg) > 0.5
+    # and with moving content a small fraction of the frame, the win shows
+    # up whole-frame too (measured r4: frozen 4.58 vs per-frame 5.63)
     assert flicker_score(stable) < flicker_score(plain)
+
+
+def test_flicker_score_mask_validation():
+    frames = np.zeros((3, 8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="mask shape"):
+        flicker_score(frames, mask=np.ones((4, 4), bool))
+
+
+def test_pallas_norm_method_rejected_with_stats(params):
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 32, 32, 3))
+    with pytest.raises(ValueError, match="pallas"):
+        TransformerNet.apply(params, x, norm_method="pallas", return_stats=True)
+
+
+def test_reset_reference(params):
+    vs = VideoStylizer(params, stabilize=True)
+    a = _clip(n=2)
+    vs.stylize_frames(a)
+    assert vs._stats is not None
+    vs.reset_reference()
+    assert vs._stats is None
 
 
 def test_first_frame_identical_stable_vs_plain(params):
@@ -139,6 +197,19 @@ def test_gif_roundtrip(tmp_path):
     back = read_frames(gif)
     # GIF is 256-color-paletted: identical shape/count, approximate values
     assert back.shape == frames.shape and back.dtype == np.uint8
+
+
+def test_read_frames_natural_sort(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    # non-zero-padded names: lexicographic order would read 1, 10, 2
+    for i, v in [(1, 10), (2, 20), (10, 100)]:
+        Image.fromarray(np.full((8, 8, 3), v, np.uint8)).save(
+            d / f"frame_{i}.png")
+    back = read_frames(str(d))
+    assert [int(f[0, 0, 0]) for f in back] == [10, 20, 100]
 
 
 def test_frame_dir_roundtrip_exact(tmp_path):
