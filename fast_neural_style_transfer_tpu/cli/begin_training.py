@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(jax.checkpoint): ~+1 forward of step time buys "
                         "back the activation memory that bounds max batch "
                         "or image size per chip")
+    p.add_argument("--pad_batch", action="store_true",
+                   help="Pad TPU-hostile per-chip batches (e.g. the "
+                        "reference default 20) up to the next multiple of 8 "
+                        "with loss-masked dummy images: gradients stay "
+                        "exactly the real batch's, throughput becomes the "
+                        "padded shape's (DESIGN.md \u00a78)")
     p.add_argument("--image_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="Training crop size (default: config TRAIN_IMAGE_SHAPE)")
@@ -128,6 +134,7 @@ def main(argv=None) -> None:
         num_workers=args.num_workers,
         spatial=args.spatial,
         remat=args.remat,
+        pad_batch=args.pad_batch,
         init_checkpoint=args.checkpoint_path,
         profile_start=args.profile_start,
         profile_stop=args.profile_stop,

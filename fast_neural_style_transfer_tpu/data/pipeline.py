@@ -50,7 +50,17 @@ class InputPipeline:
         sharding: Optional[jax.sharding.Sharding] = None,
         drop_last: bool = True,
         transport: str = "u8",
+        pad_to_multiple: int = 0,
+        num_data_shards: int = 1,
     ):
+        """``pad_to_multiple`` > 0: pad each data shard's slice of the batch
+        up to that multiple (repeating its last image) so TPU-hostile
+        per-chip batch shapes (the reference's b20 — DESIGN.md §8) run at
+        the padded shape's throughput; ``batch_mask_global`` marks the real
+        rows and the train step masks pad rows out of every loss term
+        exactly (train/step.py). ``num_data_shards`` is the mesh's data
+        axis size — padding is laid out per shard so the padded global
+        batch still splits contiguously across chips."""
         if transport not in ("u8", "f32"):
             raise ValueError(f"transport must be 'u8' or 'f32': {transport!r}")
         if prefetch < 1:
@@ -76,6 +86,29 @@ class InputPipeline:
         self.dataset = dataset
         self.global_batch_size = global_batch_size
         self.local_batch_size = global_batch_size // jax.process_count()
+
+        self.pad_to_multiple = int(pad_to_multiple)
+        self.num_data_shards = int(num_data_shards)
+        self.batch_mask_global: Optional[np.ndarray] = None
+        self._per_shard = None
+        if self.pad_to_multiple > 0:
+            if global_batch_size % self.num_data_shards:
+                raise ValueError(
+                    f"global batch {global_batch_size} not divisible by "
+                    f"{self.num_data_shards} data shards")
+            per_shard = global_batch_size // self.num_data_shards
+            padded = -(-per_shard // self.pad_to_multiple) * self.pad_to_multiple
+            if padded != per_shard:
+                shards_per_proc = self.num_data_shards // jax.process_count()
+                if shards_per_proc * jax.process_count() != self.num_data_shards:
+                    raise ValueError(
+                        f"{self.num_data_shards} data shards not divisible "
+                        f"by {jax.process_count()} processes")
+                self._per_shard = (per_shard, padded, shards_per_proc)
+                mask = np.zeros((self.num_data_shards, padded), np.float32)
+                mask[:, :per_shard] = 1.0
+                self.batch_mask_global = mask.reshape(-1)
+
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
@@ -107,9 +140,22 @@ class InputPipeline:
         p = jax.process_index()
         return batch_idx[p * self.local_batch_size : (p + 1) * self.local_batch_size]
 
+    def _pad_shards(self, u8: np.ndarray) -> np.ndarray:
+        """Pad each of this process's data-shard slices up to the padded
+        per-shard batch (repeating the shard's last image; the values are
+        irrelevant — the step masks them out of every loss — but a real
+        image keeps all activations finite)."""
+        per_shard, padded, shards_per_proc = self._per_shard
+        x = u8.reshape((shards_per_proc, per_shard) + u8.shape[1:])
+        x = np.concatenate(
+            [x, np.repeat(x[:, -1:], padded - per_shard, axis=1)], axis=1)
+        return x.reshape((shards_per_proc * padded,) + u8.shape[1:])
+
     def _make_batch(self, pool: ThreadPoolExecutor, batch_idx: np.ndarray) -> np.ndarray:
         imgs = list(pool.map(self.dataset.__getitem__, self._local_slice(batch_idx)))
         u8 = np.stack(imgs)  # (b, h, w, 3) uint8
+        if self._per_shard is not None:
+            u8 = self._pad_shards(u8)
         if self.transport == "u8":
             # Ship raw uint8; the jitted train step normalizes on device
             # (train/step.py::normalize_u8_batch) where XLA fuses the
@@ -138,7 +184,9 @@ class InputPipeline:
     def _to_device(self, host_batch: np.ndarray):
         if self.sharding is None:
             return jax.device_put(host_batch)
-        global_shape = (self.global_batch_size,) + host_batch.shape[1:]
+        global_b = (self.global_batch_size if self._per_shard is None
+                    else self._per_shard[1] * self.num_data_shards)
+        global_shape = (global_b,) + host_batch.shape[1:]
         return jax.make_array_from_process_local_data(
             self.sharding, host_batch, global_shape
         )

@@ -94,6 +94,7 @@ def style_loss(
     target_grams: Sequence[jnp.ndarray],
     weights: Sequence[float],
     style_select: jnp.ndarray = None,
+    batch_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Sum over layers of ``w * sum((G - G_target)^2) / c^2``.
 
@@ -104,6 +105,11 @@ def style_loss(
     target is the matching selection/blend of bank rows — the same tiny
     matmul that selects the IN affines in the model, so the loss each
     example sees is exactly the style its normalization was conditioned on.
+
+    ``batch_mask`` ((B,) 0/1 floats): zeroes padding examples out of the
+    batch sum — the loss is a plain sum over examples, so masking is EXACT
+    (``--pad_batch``: train hostile batch shapes like the reference's b20
+    padded to a TPU-friendly multiple of 8 with unchanged gradients).
     """
     if not (len(style_feats) == len(target_grams) == len(weights)):
         raise ValueError("style taps / targets / weights length mismatch")
@@ -128,20 +134,39 @@ def style_loss(
             )
         else:
             tgt = tgt[None]  # broadcast one style over the batch
-        layer = jnp.sum(jnp.square(g - tgt))
+        sq = jnp.square(g - tgt)
+        if batch_mask is not None:
+            sq = sq * batch_mask.astype(jnp.float32)[:, None, None]
+        layer = jnp.sum(sq)
         total = total + (w * layer) / (c * c)
     return total
 
 
-def content_loss(input_feat: jnp.ndarray, target_feat: jnp.ndarray) -> jnp.ndarray:
-    """Sum-reduction MSE normalized by c*h*w (NHWC input)."""
+def content_loss(
+    input_feat: jnp.ndarray,
+    target_feat: jnp.ndarray,
+    batch_mask: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Sum-reduction MSE normalized by c*h*w (NHWC input).
+
+    The normalizer is batch-independent (reference losses/losses.py:58), so
+    masking padding examples (``batch_mask``) out of the sum is exact."""
     diff = input_feat.astype(jnp.float32) - target_feat.astype(jnp.float32)
     b, h, w, c = input_feat.shape
-    return jnp.sum(jnp.square(diff)) / (c * h * w)
+    sq = jnp.square(diff)
+    if batch_mask is not None:
+        sq = sq * batch_mask.astype(jnp.float32)[:, None, None, None]
+    return jnp.sum(sq) / (c * h * w)
 
 
-def total_variation_loss(img: jnp.ndarray) -> jnp.ndarray:
+def total_variation_loss(
+    img: jnp.ndarray, batch_mask: jnp.ndarray = None
+) -> jnp.ndarray:
     """Anisotropic TV, summed then normalized by b*c*h*w (NHWC input).
+
+    The normalizer divides by the BATCH COUNT (reference losses/losses.py:
+    71), so with ``batch_mask`` both the sum and the count use only real
+    examples — exact b-real semantics on a padded batch.
 
     (An NCHW-planar variant — lane-filling W instead of the 3-channel lane
     pad — measured a wash in the full b20 step, 88.80 vs 88.85 ms: XLA
@@ -149,6 +174,13 @@ def total_variation_loss(img: jnp.ndarray) -> jnp.ndarray:
     just moves. Kept in NHWC, the simpler form.)"""
     x = img.astype(jnp.float32)
     b, h, w, c = x.shape
-    tv_h = jnp.sum(jnp.square(x[:, 1:, :, :] - x[:, :-1, :, :]))
-    tv_w = jnp.sum(jnp.square(x[:, :, 1:, :] - x[:, :, :-1, :]))
-    return (tv_h + tv_w) / (b * c * h * w)
+    sq_h = jnp.square(x[:, 1:, :, :] - x[:, :-1, :, :])
+    sq_w = jnp.square(x[:, :, 1:, :] - x[:, :, :-1, :])
+    if batch_mask is not None:
+        m = batch_mask.astype(jnp.float32)
+        sq_h = sq_h * m[:, None, None, None]
+        sq_w = sq_w * m[:, None, None, None]
+        denom = jnp.sum(m) * (c * h * w)
+    else:
+        denom = jnp.asarray(float(b * c * h * w), jnp.float32)
+    return (jnp.sum(sq_h) + jnp.sum(sq_w)) / denom

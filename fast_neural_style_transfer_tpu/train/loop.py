@@ -69,6 +69,10 @@ class TrainConfig:
     tv_weight: float = 10.0
     weight_decay_every: int = 10_000  # 0 disables the halving/doubling schedule
     grad_accum: int = 1  # micro-batches averaged per optimizer update
+    # pad TPU-hostile per-chip batches (e.g. the reference's b20) up to the
+    # next multiple of 8 with loss-masked dummy images: exact real-batch
+    # gradients at the padded shape's throughput (DESIGN.md §8)
+    pad_batch: bool = False
     # rematerialize the stylizer + stylized-VGG forwards in the backward
     # (jax.checkpoint): ~+1 forward of step time buys back the peak
     # activation memory that bounds max batch / image size per chip
@@ -145,7 +149,14 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         flush=True,
     )
     per_chip = cfg.batch_size // max(plan.num_data_shards, 1)
-    if per_chip % 8:
+    pad_batch_active = bool(cfg.pad_batch) and per_chip % 8 != 0
+    if pad_batch_active and cfg.spatial > 1:
+        raise ValueError(
+            "--pad_batch is not supported with --spatial height sharding "
+            "(the halo-exchange step has no batch-mask plumbing); choose a "
+            "per-chip batch that is a multiple of 8 instead"
+        )
+    if per_chip % 8 and not pad_batch_active:
         # the reference default (config.py:4 BATCH_SIZE=20) is a hostile
         # shape on TPU — warn whatever backend we're on, since configs are
         # usually authored on CPU dev boxes and deployed to chips
@@ -154,7 +165,16 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             "XLA's (batch, channel)-tiled conv layouts pad it up and the step "
             "computes on the pad (measured on v5e: b20 pads to 24 — b24 is "
             "+3.6% wall for +20% images; DESIGN.md §8). Prefer batch "
-            "multiples of 8/chip, ideally >=64/chip, for throughput.",
+            "multiples of 8/chip, ideally >=64/chip, or pass --pad_batch to "
+            "mask loss-exact dummy images into the pad.",
+            flush=True,
+        )
+    elif pad_batch_active:
+        padded_chip = -(-per_chip // 8) * 8
+        print(
+            f"pad_batch: per-chip batch {per_chip} -> {padded_chip} "
+            f"(loss-masked padding; gradients are exact b{cfg.batch_size} "
+            "— DESIGN.md §8)",
             flush=True,
         )
 
@@ -300,7 +320,17 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         seed=cfg.seed,
         num_workers=cfg.num_workers,
         sharding=plan.batch_sharding,
+        pad_to_multiple=8 if pad_batch_active else 0,
+        num_data_shards=max(plan.num_data_shards, 1),
     )
+    batch_mask = None
+    if pipeline.batch_mask_global is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_mask = jax.device_put(
+            pipeline.batch_mask_global,
+            NamedSharding(plan.mesh, PartitionSpec("data")),
+        )
 
     monitor_img = None
     if cfg.monitor_image:
@@ -349,9 +379,15 @@ def train_style_transfer(cfg: TrainConfig) -> str:
                     profiling = False
             rng, step_rng = jax.random.split(rng)
             with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
-                state, metrics = train_step(
-                    state, vgg_params, batch, style_grams, step_rng
-                )
+                if batch_mask is not None:
+                    state, metrics = train_step(
+                        state, vgg_params, batch, style_grams, step_rng,
+                        batch_mask
+                    )
+                else:
+                    state, metrics = train_step(
+                        state, vgg_params, batch, style_grams, step_rng
+                    )
             step += 1
             logger.update(metrics)
 

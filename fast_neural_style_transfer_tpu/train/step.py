@@ -77,6 +77,7 @@ def loss_fn(
     train: bool = True,
     style_select: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    batch_mask: Optional[jnp.ndarray] = None,
 ):
     """Weighted perceptual loss for one batch; returns (total, metrics).
 
@@ -84,6 +85,12 @@ def loss_fn(
     each example with a style — conditions the stylizer's instance norms AND
     picks the matching row of each (S, c, c) style-Gram bank, so generator
     and loss always agree on which style an example is being pushed toward.
+
+    ``batch_mask`` ((B,) 0/1 floats): zeroes padding examples out of every
+    loss term. All three reference losses are batch SUM-reductions (TV's
+    per-batch normalizer uses the real count), so a step on a padded batch
+    with the mask computes bit-exact real-batch gradients — the
+    ``--pad_batch`` path for TPU-hostile shapes like the reference's b20.
 
     ``remat``: rematerialize the two gradient-bearing forwards (stylizer,
     VGG over the stylized batch) in the backward pass instead of keeping
@@ -110,6 +117,9 @@ def loss_fn(
     if remat:
         net_fwd = jax.checkpoint(net_fwd)
         vgg_fwd = jax.checkpoint(vgg_fwd)
+    if batch_mask is not None and batch_mask.shape != (batch.shape[0],):
+        raise ValueError(
+            f"batch_mask shape {batch_mask.shape} != ({batch.shape[0]},)")
     stylized = net_fwd(params, batch, rng, style_select)
 
     content_feats = VGG19Features.apply(
@@ -124,10 +134,12 @@ def loss_fn(
     s_feats, c_feat_stylized = taps.split(stylized_feats)
     _, c_feat_target = taps.split(content_feats)
 
-    c_loss = cw * content_loss(c_feat_stylized, c_feat_target)
+    c_loss = cw * content_loss(c_feat_stylized, c_feat_target,
+                               batch_mask=batch_mask)
     s_loss = sw * style_loss(s_feats, style_grams, taps.style_weights,
-                             style_select=style_select)
-    t_loss = tw * total_variation_loss(stylized)
+                             style_select=style_select,
+                             batch_mask=batch_mask)
+    t_loss = tw * total_variation_loss(stylized, batch_mask=batch_mask)
     total = c_loss + s_loss + t_loss
     metrics = {
         "loss": total,
@@ -150,6 +162,7 @@ def make_train_step(
     donate: bool = True,
     num_styles: int = 1,
     remat: bool = False,
+    dropout: bool = True,
 ) -> Callable:
     """Build the jitted ``step(state, vgg_params, batch, style_grams, rng)``.
 
@@ -162,6 +175,12 @@ def make_train_step(
     selects each example's row in the (S, c, c) style-Gram banks. Sampling
     lives inside the jitted step — the input pipeline, checkpointing, and
     the multichip sharding story are untouched.
+
+    ``dropout=False`` disables the res-block Dropout2d (the one op whose
+    randomness cannot be matched across frameworks) while keeping every
+    other semantic — used by the lockstep training-dynamics parity harness
+    (tests/test_lockstep_parity.py) to run this step and the reference's
+    executable trainer on identical math.
 
     Step unit: every schedule (cosine LR and the loss-weight halving/doubling)
     is a function of APPLIED optimizer updates. ``state.step`` counts
@@ -180,6 +199,7 @@ def make_train_step(
         batch: jnp.ndarray,
         style_grams: Tuple[jnp.ndarray, ...],
         rng: jax.Array,
+        batch_mask: Optional[jnp.ndarray] = None,
     ):
         applied_step = state.step // grad_accum
         weights = weight_schedule(applied_step)
@@ -192,9 +212,11 @@ def make_train_step(
             style_select = jax.nn.one_hot(idx, num_styles, dtype=jnp.float32)
         grads, metrics = jax.grad(
             functools.partial(loss_fn, taps=taps, precision=precision,
-                              style_select=style_select, remat=remat),
+                              style_select=style_select, remat=remat,
+                              batch_mask=batch_mask),
             has_aux=True,
-        )(state.params, vgg_params, batch, style_grams, weights, rng)
+        )(state.params, vgg_params, batch, style_grams, weights,
+          rng if dropout else None)
 
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
