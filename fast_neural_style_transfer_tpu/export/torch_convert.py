@@ -70,7 +70,16 @@ def _get(params: Params, path) -> Dict[str, Any]:
 
 
 def _to_np(v) -> np.ndarray:
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    """Tensor/array -> an OWNING numpy array (always copies).
+
+    ``tensor.numpy()`` returns a VIEW of torch storage, and on the CPU
+    backend ``jnp.asarray`` of a contiguous f32 numpy array is ZERO-COPY —
+    without the copy, params converted from a live module alias torch
+    storage and a later in-place ``optimizer.step()`` silently mutates the
+    jax pytree (found by the lockstep harness: synced-mode losses reflected
+    POST-step IN affines)."""
+    a = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return np.array(a, copy=True)
 
 
 def from_torch_state_dict(state_dict: Dict[str, Any]) -> Params:

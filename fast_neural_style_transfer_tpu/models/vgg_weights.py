@@ -62,7 +62,12 @@ def from_torch_state_dict(state_dict: Dict[str, Any]) -> Params:
             key = prefix + kind
             if key in state_dict:
                 v = state_dict[key]
-                return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+                a = (v.detach().cpu().numpy() if hasattr(v, "detach")
+                     else np.asarray(v))
+                # own the data: tensor.numpy() is a view of torch storage,
+                # and jnp.asarray is zero-copy for contiguous arrays on CPU
+                # (see export/torch_convert._to_np)
+                return np.array(a, copy=True)
         raise KeyError(f"VGG19 state_dict missing layer {idx} {kind}")
 
     params: Params = {}
@@ -75,6 +80,22 @@ def from_torch_state_dict(state_dict: Dict[str, Any]) -> Params:
             "b": jnp.asarray(b, jnp.float32),
         }
     return params
+
+
+def to_torch_state_dict(params: Params) -> Dict[str, np.ndarray]:
+    """Inverse of ``from_torch_state_dict``: our HWIO pytree -> a
+    torchvision-``features``-layout state dict (``features.{idx}.weight``
+    OIHW / ``.bias``). Lets torch-side harnesses (the lockstep
+    training-dynamics parity oracle, tests/test_lockstep_parity.py) run the
+    reference's executable VGG slicing with THIS repo's weights — the only
+    way to compare training dynamics when no pretrained file exists."""
+    sd: Dict[str, np.ndarray] = {}
+    for name in CONV_NAMES:
+        idx = TORCHVISION_CONV_INDEX[name]
+        w = np.asarray(params[name]["w"], np.float32)  # HWIO
+        sd[f"features.{idx}.weight"] = np.transpose(w, (3, 2, 0, 1)).copy()
+        sd[f"features.{idx}.bias"] = np.asarray(params[name]["b"], np.float32).copy()
+    return sd
 
 
 def load_torch_file(path: str) -> Params:
