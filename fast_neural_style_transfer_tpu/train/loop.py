@@ -161,20 +161,22 @@ def train_style_transfer(cfg: TrainConfig) -> str:
         # shape on TPU — warn whatever backend we're on, since configs are
         # usually authored on CPU dev boxes and deployed to chips
         print(
-            f"note: per-chip batch {per_chip} is not a multiple of 8; on TPU, "
-            "XLA's (batch, channel)-tiled conv layouts pad it up and the step "
-            "computes on the pad (measured on v5e: b20 pads to 24 — b24 is "
-            "+3.6% wall for +20% images; DESIGN.md §8). Prefer batch "
-            "multiples of 8/chip, ideally >=64/chip, or pass --pad_batch to "
-            "mask loss-exact dummy images into the pad.",
+            f"note: per-chip batch {per_chip} is not a multiple of 8 — a "
+            "hostile shape on TPU (measured on v5e: b24 is +3.5% wall for "
+            "+20% images over b20, and the b20 train step costs ~10x the "
+            "XLA compile time: 492s vs 48s; DESIGN.md §8). Prefer REAL "
+            "batch multiples of 8/chip, ideally >=64/chip; --pad_batch "
+            "keeps this exact batch's gradients while compiling at the "
+            "friendly padded shape (+3.7% step wall).",
             flush=True,
         )
     elif pad_batch_active:
         padded_chip = -(-per_chip // 8) * 8
         print(
             f"pad_batch: per-chip batch {per_chip} -> {padded_chip} "
-            f"(loss-masked padding; gradients are exact b{cfg.batch_size} "
-            "— DESIGN.md §8)",
+            f"(loss-masked padding; gradients are exact b{cfg.batch_size}, "
+            "step wall is the padded shape's, compile avoids the "
+            "hostile-shape cliff — DESIGN.md §8)",
             flush=True,
         )
 

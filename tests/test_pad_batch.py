@@ -173,6 +173,47 @@ def test_pipeline_pads_per_shard(tmp_path):
     np.testing.assert_array_equal(batch[13], batch[12])
 
 
+@pytest.mark.slow
+def test_train_loop_pad_batch_e2e(tmp_path, capsys):
+    """train_style_transfer(pad_batch=True) on the 8-device mesh: batch 8
+    -> per-chip 1 -> padded 8/chip; the run announces the padding, trains,
+    logs finite losses, and writes the final artifact."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from fast_neural_style_transfer_tpu.train.loop import (
+        TrainConfig,
+        train_style_transfer,
+    )
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(16):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        ).save(data / f"im{i}.jpg")
+    style = tmp_path / "style.jpg"
+    Image.fromarray(
+        rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)).save(style)
+    out = str(tmp_path / "out")
+    cfg = TrainConfig(
+        style_image=str(style), dataset_dir=str(data), output_dir=out,
+        total_steps=2, batch_size=8, image_size=(32, 32), log_every=1,
+        monitor_every=1000, checkpoint_every=1000, num_workers=1,
+        resume=False, pad_batch=True,
+    )
+    with pytest.warns(UserWarning, match="VGG19"):
+        train_style_transfer(cfg)
+    assert "pad_batch: per-chip batch 1 -> 8" in capsys.readouterr().out
+    rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert rows[-1]["step"] == 2
+    assert all(np.isfinite(r["loss"]) for r in rows)
+    assert os.path.exists(os.path.join(out, "style_transfer_final.npz"))
+
+
 def test_pipeline_pad_noop_when_aligned(tmp_path):
     from PIL import Image
 

@@ -21,19 +21,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fast_neural_style_transfer_tpu.cli import enable_compilation_cache
+
+enable_compilation_cache()  # three train-step compiles dominate otherwise
+
 
 def _measure(step, state, args, iters, samples):
+    t0 = time.perf_counter()
     state2, m = step(state, *args)
-    jax.block_until_ready(state2)
+    _ = float(m["loss"])  # force D2H; tunnel block_until_ready lies
+    compile_s = time.perf_counter() - t0
     ts = []
     for _ in range(samples):
         s = state
         t0 = time.perf_counter()
         for _ in range(iters):
             s, m = step(s, *args)
-        _ = float(m["loss"])  # force D2H; tunnel block_until_ready lies
+        _ = float(m["loss"])
         ts.append((time.perf_counter() - t0) / iters * 1000.0)
-    return float(np.median(ts))
+    return float(np.median(ts)), compile_s
 
 
 def build(batch, hw, prec, mask, iters, samples):
@@ -60,7 +66,8 @@ def build(batch, hw, prec, mask, iters, samples):
     opt = make_optimizer(1e-3, 1000)
     state = create_train_state(TransformerNet.init(jax.random.PRNGKey(1)), opt)
     step = make_train_step(opt, taps=taps, precision=p, donate=False)
-    x = jnp.zeros((batch, hw, hw, 3), jnp.uint8)
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (batch, hw, hw, 3)), jnp.uint8)
     args = (vgg, x, grams, jax.random.PRNGKey(2))
     if mask is not None:
         args = args + (jnp.asarray(mask),)
@@ -87,8 +94,13 @@ def main():
                         (f"step_ms_b{padded}_masked", padded, mask),
                         (f"step_ms_b{padded}", padded, None)):
         try:
-            rec[key] = round(build(bsz, args.image_size, args.precision, m,
-                                   args.iters, args.samples), 3)
+            ms, compile_s = build(bsz, args.image_size, args.precision, m,
+                                  args.iters, args.samples)
+            rec[key] = round(ms, 3)
+            # hostile shapes are also hostile to COMPILE: measured r4,
+            # b20 bf16 256^2 takes ~492 s to compile on this backend vs
+            # ~48 s for b24 — record it, it can dominate short runs
+            rec[key + "_compile_s"] = round(compile_s, 1)
         except Exception as e:
             rec[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
     kb, kp = f"step_ms_b{b}", f"step_ms_b{padded}_masked"
