@@ -173,6 +173,124 @@ def bench_e2e_ms_per_image(image_path: str = "/root/reference/dancing.jpg",
     return float(np.percentile(ts, 50))
 
 
+def bench_e2e_breakdown(image_path: str = "/root/reference/dancing.jpg",
+                        repeats: int = 5) -> dict:
+    """Decompose ``e2e_ms_per_image`` into its legs so the single number
+    stops being confounded by the tunnel (VERDICT r3 #4):
+
+      decode  — host JPEG decode + bilinear resize (pure CPU)
+      h2d     — uint8 host->device transfer, isolated by (asarray + dependent
+                scalar fetch) minus the measured RTT
+      device  — the fused u8->u8 stylize program, chained method (ex-RTT)
+      d2h     — np.asarray() of an ALREADY-COMPUTED device uint8 image; on
+                this environment this leg necessarily includes one tunnel
+                RTT (the fetch is synchronous), so d2h ≈ rtt + wire time.
+                On directly-attached hardware it is PCIe-only.
+
+    decode + h2d + device + d2h + dispatch overhead ≈ e2e_ms_per_image.
+    """
+    import os
+
+    from fast_neural_style_transfer_tpu.infer.stylize import Stylizer
+    from fast_neural_style_transfer_tpu.models import TransformerNet
+    from fast_neural_style_transfer_tpu.utils.image_io import (
+        decode_image,
+        resize_image,
+    )
+
+    if not os.path.exists(image_path):
+        from PIL import Image
+
+        image_path = "/tmp/bench_e2e.jpg"
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 256, (512, 512, 3), dtype=np.uint8)
+        ).save(image_path)
+
+    params = TransformerNet.init(jax.random.PRNGKey(0))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    sty = Stylizer(params, precision="bf16" if on_tpu else "f32")
+    u8 = resize_image(decode_image(image_path), (256, 256))
+    sty.stylize_u8(u8)  # compile + warm the whole path
+    rtt = _measure_rtt()
+
+    # decode leg (host only)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        resize_image(decode_image(image_path), (256, 256))
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    decode_ms = float(np.median(ts))
+
+    # h2d leg: transfer + dependent scalar fetch, minus RTT (the on-device
+    # sum of a 196 KB u8 image is negligible next to the transfer)
+    force = jax.jit(lambda a: jnp.sum(a.astype(jnp.int32)))
+    int(force(jnp.asarray(u8)))  # warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        int(force(jnp.asarray(u8)))
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    h2d_ms = max(float(np.median(ts)) - rtt, 0.0)
+
+    # device leg: chained u8->u8 forwards (output feeds input), ex-RTT
+    x = jnp.asarray(u8[None])
+    fn = lambda v: sty._fwd_u8(sty.params, v)
+    chain = 10
+    _chain_time_ms(fn, x, 2)
+    per_iter = []
+    for _ in range(3):
+        per_iter.append(max(_chain_time_ms(fn, x, chain) - rtt, 1e-6) / chain)
+    device_ms = float(np.percentile(per_iter, 50))
+
+    # d2h leg: fetch of an already-computed device u8 image (raw: includes
+    # one RTT on this environment — see docstring). A FRESH result per
+    # repeat: jax.Array caches its host copy after the first np.asarray, so
+    # re-fetching one array times a cache hit, not the transfer.
+    ys = [fn(x) for _ in range(repeats)]
+    for y in ys:
+        int(force(y))  # ensure every result exists on device before timing
+    ts = []
+    for y in ys:
+        t0 = time.perf_counter()
+        np.asarray(y)
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    d2h_ms = float(np.median(ts))
+
+    return {
+        "e2e_decode_ms": round(decode_ms, 2),
+        "e2e_h2d_ms": round(h2d_ms, 2),
+        "e2e_device_ms": round(device_ms, 2),
+        "e2e_d2h_ms": round(d2h_ms, 2),
+    }
+
+
+def bench_video_fps(batch: int = 8, hw: int = 256, chain: int = 10,
+                    samples: int = 3) -> float:
+    """Device frames/sec for stabilized video stylization (infer/video.py):
+    the frozen-stats u8->u8 forward at the CLI's default frame batch,
+    chained method. The stats pytree rides along as (1,1,1,C) constants, so
+    this is the per-batch program `fnst-video` replays over a whole clip."""
+    from fast_neural_style_transfer_tpu.infer.video import VideoStylizer
+    from fast_neural_style_transfer_tpu.models import TransformerNet
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    vs = VideoStylizer(TransformerNet.init(jax.random.PRNGKey(0)),
+                       precision="bf16" if on_tpu else "f32")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (batch, hw, hw, 3), dtype=np.uint8)
+    vs.set_reference(frames[0])
+    x0 = jnp.asarray(frames)
+    fn = lambda x: vs._fwd(vs.params, x, vs._stats)
+    _chain_time_ms(fn, x0, 2)  # compile + warm
+    rtt = _measure_rtt(3)
+    per_iter = []
+    for _ in range(samples):
+        total = _chain_time_ms(fn, x0, chain)
+        per_iter.append(max(total - rtt, 1e-6) / chain)
+    ms = float(np.percentile(per_iter, 50))
+    return batch / (ms / 1000.0)
+
+
 def bench_train_steps_per_sec(iters: int = 20, batch: int = 4) -> float:
     from fast_neural_style_transfer_tpu.core.dtypes import Precision
     from fast_neural_style_transfer_tpu.losses import LossTaps, style_targets_from_features
@@ -304,6 +422,8 @@ def main() -> None:
         out["infer_images_per_sec_b8"] = round(bench_inference_batched(8), 1)
         out["infer_images_per_sec_b32"] = round(bench_inference_batched(32), 1)
         out["e2e_ms_per_image"] = round(bench_e2e_ms_per_image(), 1)
+        out.update(bench_e2e_breakdown())
+        out["video_fps_256_b8"] = round(bench_video_fps(), 1)
         out["train_steps_per_sec_b4"] = round(bench_train_steps_per_sec(batch=4), 2)
         out["train_images_per_sec_b20"] = round(
             bench_train_steps_per_sec(iters=10, batch=20) * 20, 1)
