@@ -76,11 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pad_batch", action="store_true",
                    help="Pad TPU-hostile per-chip batches (e.g. the "
                         "reference default 20) up to the next multiple of 8 "
-                        "with loss-masked dummy images: gradients stay "
-                        "exactly the real batch's, the step compiles at the "
-                        "friendly padded shape (hostile b20 costs ~10x the "
-                        "XLA compile time) at +3.7% step wall (DESIGN.md "
-                        "\u00a78)")
+                        "with loss-masked dummy images. Gradients stay "
+                        "exactly the real batch's; the win is COMPILE time "
+                        "(hostile b20 measured 223-492 s vs ~7 s padded), "
+                        "not throughput (-3.5%% img/s vs unpadded b20 \u2014 "
+                        "prefer real multiples of 8; DESIGN.md \u00a78 "
+                        "addendum)")
     p.add_argument("--image_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="Training crop size (default: config TRAIN_IMAGE_SHAPE)")

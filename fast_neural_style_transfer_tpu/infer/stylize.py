@@ -248,6 +248,23 @@ class Stylizer:
             self._fwd_u8(self.params, self._place(padded)))[:, :h, :w, :]
         return out[0] if squeeze else out
 
+    def raw_forward_u8(self, x_u8: jnp.ndarray) -> jnp.ndarray:
+        """Public benchmarking hook: the jitted u8->u8 device program at an
+        already bucket-aligned shape — no host-side pad/crop/placement, input
+        and output stay device arrays (so output can feed back as input for
+        chained-timing). Benches use this instead of reaching into
+        ``_fwd_u8`` so internal refactors can't silently change what they
+        measure (ADVICE r4)."""
+        if x_u8.ndim != 4 or x_u8.dtype != jnp.uint8:
+            raise TypeError("raw_forward_u8 wants a uint8 NHWC batch")
+        h, w = int(x_u8.shape[1]), int(x_u8.shape[2])
+        if h % self.bucket_multiple or w % self.bucket_multiple:
+            raise ValueError(
+                f"raw_forward_u8 needs bucket-aligned H/W (multiple of "
+                f"{self.bucket_multiple}); got {h}x{w} — use stylize_u8 for "
+                "arbitrary sizes")
+        return self._fwd_u8(self.params, x_u8)
+
 
 def stylize_image_file(
     model_path: str,

@@ -148,6 +148,23 @@ class VideoStylizer:
 
     # -- forward -------------------------------------------------------------
 
+    def raw_forward(self, frames_u8: jnp.ndarray) -> jnp.ndarray:
+        """Public benchmarking hook: the jitted frozen-stats u8->u8 device
+        program at an already bucket-aligned shape — the per-batch program
+        ``stylize_frames`` replays, minus host pad/crop. ``set_reference``
+        must have been called. Benches use this instead of reaching into
+        ``_fwd``/``_stats`` (ADVICE r4)."""
+        if self._stats is None:
+            raise RuntimeError("raw_forward needs set_reference() first")
+        if frames_u8.ndim != 4 or frames_u8.dtype != jnp.uint8:
+            raise TypeError("raw_forward wants a uint8 NHWC frame batch")
+        h, w = int(frames_u8.shape[1]), int(frames_u8.shape[2])
+        if h % self.bucket_multiple or w % self.bucket_multiple:
+            raise ValueError(
+                f"raw_forward needs bucket-aligned H/W (multiple of "
+                f"{self.bucket_multiple}); got {h}x{w}")
+        return self._fwd(self.params, frames_u8, self._stats)
+
     def stylize_frames(
         self, frames_u8: np.ndarray, *, batch_size: int = 8
     ) -> np.ndarray:

@@ -70,8 +70,11 @@ class TrainConfig:
     weight_decay_every: int = 10_000  # 0 disables the halving/doubling schedule
     grad_accum: int = 1  # micro-batches averaged per optimizer update
     # pad TPU-hostile per-chip batches (e.g. the reference's b20) up to the
-    # next multiple of 8 with loss-masked dummy images: exact real-batch
-    # gradients at the padded shape's throughput (DESIGN.md §8)
+    # next multiple of 8 with loss-masked dummy images. Gradients stay
+    # exactly the real batch's; the measured value is avoiding the
+    # hostile-shape COMPILE cliff (b20: 223-492 s vs ~7 s padded), not
+    # throughput (b20->b24 measured -3.5% img/s — train at real multiples
+    # of 8 when throughput matters; DESIGN.md §8 addendum)
     pad_batch: bool = False
     # rematerialize the stylizer + stylized-VGG forwards in the backward
     # (jax.checkpoint): ~+1 forward of step time buys back the peak

@@ -74,6 +74,12 @@ def main():
                                            stabilize=stab)
         vs.stylize_frames(clip[:8])  # compile + warm outside the timing
         vs.reset_reference()
+        if stab:
+            # re-capture the reference stats BEFORE the timed window: without
+            # this the stab run pays a one-time device dispatch + H2D inside
+            # the timing that the plain run has no analogue of, biasing the
+            # A/B wall numbers against stab (ADVICE r4)
+            vs.set_reference(clip[0])
         t0 = time.perf_counter()
         out = vs.stylize_frames(clip)
         wall = time.perf_counter() - t0
