@@ -32,16 +32,31 @@ def _affine_f32(p, x_ndim):
     return p
 
 
-def instance_norm_stats(x):
+def instance_norm_stats(x, method: str = "stable"):
     """Per-(sample, channel) spatial moments of a (B, H, W, C) activation:
-    float32 ``(mean, var)`` each shaped (B, 1, 1, C). The biased variance is
-    computed stably around the mean. These are exactly the statistics
-    ``instance_norm`` normalizes with — exposed so callers can capture them
-    from one input and re-apply them to another (frozen-statistics temporal
-    stabilization for video, infer/video.py)."""
+    float32 ``(mean, var)`` each shaped (B, 1, 1, C). These are exactly the
+    statistics ``instance_norm`` normalizes with — exposed so callers can
+    capture them from one input and re-apply them to another
+    (frozen-statistics temporal stabilization for video, infer/video.py).
+
+    ``method``:
+    - "stable" (default): biased variance computed around the mean. Two
+      dependent reductions — the var pass re-reads the activation after the
+      mean is known.
+    - "onepass": var = E[x²] - mean². mean and E[x²] share one read of the
+      activation (XLA multi-output reduce fusion), halving stat-pass HBM
+      traffic — the round-2 hunt measured the stat reduces as HBM-bound
+      (DESIGN.md §8). Loses precision when mean² >> var; the capture/inject
+      stabilization path therefore always uses "stable" (bit-identity
+      contract with the plain forward).
+    """
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    if method == "onepass":
+        sq = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
     return mean, var
 
 
@@ -62,7 +77,14 @@ def apply_instance_norm_stats(x, mean, var, gamma, beta, *,
 
 
 def _xla_instance_norm(x, gamma, beta, *, eps: float, relu: bool):
-    mean, var = instance_norm_stats(x)
+    # FNST_IN_STATS=onepass switches the plain forward's stat lowering for
+    # A/B probing (tools/probe_in_onepass.py); the stats capture/inject
+    # path (video stabilization) is NOT affected — it calls
+    # instance_norm_stats directly and stays "stable".
+    import os
+
+    mean, var = instance_norm_stats(
+        x, method=os.environ.get("FNST_IN_STATS", "stable"))
     return apply_instance_norm_stats(x, mean, var, gamma, beta,
                                      eps=eps, relu=relu)
 

@@ -116,6 +116,28 @@ def test_instance_norm_matches_torch(rng, affine_scale):
     np.testing.assert_allclose(from_nhwc(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_instance_norm_onepass_stats_match_stable(rng, monkeypatch):
+    """var = E[x²] - mean² (one HBM pass, tools/probe_in_onepass.py A/B)
+    must agree with the stable two-pass default at realistic activation
+    scales — including a deliberately large mean (its weak spot)."""
+    from fast_neural_style_transfer_tpu.ops.norm import instance_norm_stats
+
+    x = jnp.asarray(
+        rng.standard_normal((2, 16, 16, 8), dtype=np.float32) * 4 + 50)
+    m1, v1 = instance_norm_stats(x)
+    m2, v2 = instance_norm_stats(x, method="onepass")
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-3, atol=1e-3)
+    # the env switch changes the plain forward's lowering, not its result
+    g = jnp.ones((8,), jnp.float32)
+    b = jnp.zeros((8,), jnp.float32)
+    base = np.asarray(instance_norm(x, g, b, relu=True))
+    monkeypatch.setenv("FNST_IN_STATS", "onepass")
+    got = np.asarray(instance_norm(x, g, b, relu=True))
+    np.testing.assert_allclose(got, base, rtol=1e-3, atol=1e-3)
+
+
 def test_gram_matches_torch_bmm(rng):
     x = rng.standard_normal((2, 6, 5, 7), dtype=np.float32)  # NCHW
     xt = torch.from_numpy(x)
