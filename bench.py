@@ -522,7 +522,7 @@ def bench_train_steps_per_sec(iters: int = 20, batch: int = 4) -> float:
     return iters / max(total_ms / 1000.0, 1e-9)
 
 
-def bench_adain_ms(hw: int = 256, chain: int = 10, samples: int = 3) -> float:
+def bench_adain_ms(hw: int = 256, chain: int = 40, samples: int = 3) -> float:
     """p50 device ms for one AdaIN arbitrary-style 256^2 forward (VGG encode
     of content + style, stat re-normalization, decoder) — the second model
     family's serving number. Chained method like the stylizer bench."""
@@ -555,7 +555,7 @@ def bench_adain_ms(hw: int = 256, chain: int = 10, samples: int = 3) -> float:
     return float(np.percentile(per_iter, 50))
 
 
-def bench_adain_serving_ms(hw: int = 256, chain: int = 10,
+def bench_adain_serving_ms(hw: int = 256, chain: int = 40,
                            samples: int = 3) -> float:
     """p50 device ms for the cached-style AdaIN serving forward
     (infer/adain.py ArbitraryStylizer): ONE VGG encode (content only — the
