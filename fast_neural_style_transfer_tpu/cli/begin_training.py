@@ -73,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(jax.checkpoint): ~+1 forward of step time buys "
                         "back the activation memory that bounds max batch "
                         "or image size per chip")
+    p.add_argument("--in_stats", choices=("stable", "onepass"),
+                   default="stable",
+                   help="Instance-norm statistic lowering: 'stable' "
+                        "(two-pass, torch-exact — the lockstep-parity "
+                        "contract) or 'onepass' (var = E[x²]-mean², one HBM "
+                        "pass: -2.1%% b20 / -3.3%% b96 step time on v5e; "
+                        "slight precision loss on channels with "
+                        "var << mean²)")
     p.add_argument("--pad_batch", action="store_true",
                    help="Pad TPU-hostile per-chip batches (e.g. the "
                         "reference default 20) up to the next multiple of 8 "
@@ -137,6 +145,7 @@ def main(argv=None) -> None:
         num_workers=args.num_workers,
         spatial=args.spatial,
         remat=args.remat,
+        in_stats=args.in_stats,
         pad_batch=args.pad_batch,
         init_checkpoint=args.checkpoint_path,
         profile_start=args.profile_start,

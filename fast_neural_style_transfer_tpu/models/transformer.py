@@ -233,14 +233,17 @@ class TransformerNet:
             raise ValueError(
                 f"in_stats has {len(in_stats)} entries; this net has "
                 f"{n_sites} IN sites (capture with return_stats=True)")
-        if norm_method == "pallas" and (in_stats is not None or return_stats):
-            # the stats capture/inject path always uses the XLA moment
-            # lowering (instance_norm_stats/apply_instance_norm_stats);
-            # silently honoring a "pallas" opt-in here would break the
-            # bit-identity contract with the pallas plain forward
+        if norm_method in ("pallas", "onepass") and (
+                in_stats is not None or return_stats):
+            # the stats capture/inject path always uses the stable XLA
+            # moment lowering (instance_norm_stats/apply_instance_norm_
+            # stats); silently honoring a "pallas"/"onepass" opt-in here
+            # would break the bit-identity contract between capture and
+            # the plain forward
             raise ValueError(
-                "norm_method='pallas' cannot be combined with in_stats/"
-                "return_stats: the stats path uses the XLA lowering")
+                f"norm_method={norm_method!r} cannot be combined with "
+                "in_stats/return_stats: the stats path uses the stable "
+                "XLA lowering")
 
         in_dtype = x.dtype
         x = x.astype(precision.compute_dtype)

@@ -76,15 +76,9 @@ def apply_instance_norm_stats(x, mean, var, gamma, beta, *,
     return out.astype(orig_dtype)
 
 
-def _xla_instance_norm(x, gamma, beta, *, eps: float, relu: bool):
-    # FNST_IN_STATS=onepass switches the plain forward's stat lowering for
-    # A/B probing (tools/probe_in_onepass.py); the stats capture/inject
-    # path (video stabilization) is NOT affected — it calls
-    # instance_norm_stats directly and stays "stable".
-    import os
-
-    mean, var = instance_norm_stats(
-        x, method=os.environ.get("FNST_IN_STATS", "stable"))
+def _xla_instance_norm(x, gamma, beta, *, eps: float, relu: bool,
+                       stats_method: str = "stable"):
+    mean, var = instance_norm_stats(x, method=stats_method)
     return apply_instance_norm_stats(x, mean, var, gamma, beta,
                                      eps=eps, relu=relu)
 
@@ -98,8 +92,14 @@ def instance_norm(
     relu: bool = False,
     method: str = "auto",
 ) -> jnp.ndarray:
-    if method not in ("auto", "xla", "pallas"):
+    if method not in ("auto", "xla", "onepass", "pallas"):
         raise ValueError(f"unknown instance_norm method {method!r}")
+    if method == "onepass":
+        # one-HBM-pass statistics (see instance_norm_stats): measured
+        # -2.1% b20 / -3.3% b96 train-step time on v5e
+        # (evidence/in_onepass_r5.jsonl, tools/probe_in_onepass.py)
+        return _xla_instance_norm(x, gamma, beta, eps=eps, relu=relu,
+                                  stats_method="onepass")
     if method == "pallas" and gamma.ndim == 1:
         # (the Pallas kernel takes per-channel (C,) affines only; per-example
         # (B, C) conditional-IN affines go through the XLA path)

@@ -80,6 +80,12 @@ class TrainConfig:
     # (jax.checkpoint): ~+1 forward of step time buys back the peak
     # activation memory that bounds max batch / image size per chip
     remat: bool = False
+    # IN statistic lowering: "stable" (two-pass variance around the mean —
+    # torch-exact, what the lockstep parity was proven with) or "onepass"
+    # (var = E[x²] - mean², one HBM pass for both stat reductions: measured
+    # -2.1% b20 / -3.3% b96 step time on v5e, evidence/in_onepass_r5.jsonl;
+    # numerically equivalent except channels with var << mean²)
+    in_stats: str = "stable"
 
     content_tap: str = "relu4_2"  # the reference *intended* relu4_2 (config.py:18)
     style_taps: Tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")
@@ -120,6 +126,15 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             f"image_size {cfg.image_size} must be a multiple of 4 in both "
             "dims (stylizer downsamples 4x and upsamples back)"
         )
+    if cfg.in_stats not in ("stable", "onepass"):
+        raise ValueError(
+            f"in_stats must be 'stable' or 'onepass', got {cfg.in_stats!r}")
+    if cfg.in_stats == "onepass" and cfg.spatial > 1:
+        # the H-sharded step computes its global IN statistics through its
+        # own psum two-pass lowering (ops/sharded.py); a one-pass variant
+        # there would be a separate change
+        raise ValueError("in_stats='onepass' is not supported with spatial "
+                         "sharding (spatial > 1)")
     prec = canonical_compute_dtype(cfg.precision)
     taps = LossTaps(
         style_taps=tuple(cfg.style_taps),
@@ -315,6 +330,7 @@ def train_style_transfer(cfg: TrainConfig) -> str:
             grad_accum=cfg.grad_accum,
             num_styles=num_styles,
             remat=cfg.remat,
+            norm_method="onepass" if cfg.in_stats == "onepass" else "auto",
         )
     eval_forward = make_eval_forward(precision=prec)
 

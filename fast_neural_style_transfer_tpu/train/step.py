@@ -78,6 +78,7 @@ def loss_fn(
     style_select: Optional[jnp.ndarray] = None,
     remat: bool = False,
     batch_mask: Optional[jnp.ndarray] = None,
+    norm_method: str = "auto",
 ):
     """Weighted perceptual loss for one batch; returns (total, metrics).
 
@@ -106,7 +107,8 @@ def loss_fn(
 
     def net_fwd(p, b, r, sel):
         out = TransformerNet.apply(p, b, train=train, rng=r,
-                                   precision=precision, style_weights=sel)
+                                   precision=precision, style_weights=sel,
+                                   norm_method=norm_method)
         return jnp.clip(out, -ACTIVATION_CLAMP, ACTIVATION_CLAMP)
 
     tap_names = taps.all_taps
@@ -163,6 +165,7 @@ def make_train_step(
     num_styles: int = 1,
     remat: bool = False,
     dropout: bool = True,
+    norm_method: str = "auto",
 ) -> Callable:
     """Build the jitted ``step(state, vgg_params, batch, style_grams, rng)``.
 
@@ -213,7 +216,8 @@ def make_train_step(
         grads, metrics = jax.grad(
             functools.partial(loss_fn, taps=taps, precision=precision,
                               style_select=style_select, remat=remat,
-                              batch_mask=batch_mask),
+                              batch_mask=batch_mask,
+                              norm_method=norm_method),
             has_aux=True,
         )(state.params, vgg_params, batch, style_grams, weights,
           rng if dropout else None)

@@ -116,10 +116,11 @@ def test_instance_norm_matches_torch(rng, affine_scale):
     np.testing.assert_allclose(from_nhwc(got), want, rtol=1e-4, atol=1e-4)
 
 
-def test_instance_norm_onepass_stats_match_stable(rng, monkeypatch):
-    """var = E[x²] - mean² (one HBM pass, tools/probe_in_onepass.py A/B)
-    must agree with the stable two-pass default at realistic activation
-    scales — including a deliberately large mean (its weak spot)."""
+def test_instance_norm_onepass_stats_match_stable(rng):
+    """var = E[x²] - mean² (one HBM pass — -2.1%/-3.3% chip step time,
+    evidence/in_onepass_r5.jsonl) must agree with the stable two-pass
+    default at realistic activation scales — including a deliberately
+    large mean (its weak spot)."""
     from fast_neural_style_transfer_tpu.ops.norm import instance_norm_stats
 
     x = jnp.asarray(
@@ -129,13 +130,56 @@ def test_instance_norm_onepass_stats_match_stable(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                rtol=1e-3, atol=1e-3)
-    # the env switch changes the plain forward's lowering, not its result
+    # method="onepass" changes the lowering, not the result
     g = jnp.ones((8,), jnp.float32)
     b = jnp.zeros((8,), jnp.float32)
     base = np.asarray(instance_norm(x, g, b, relu=True))
-    monkeypatch.setenv("FNST_IN_STATS", "onepass")
-    got = np.asarray(instance_norm(x, g, b, relu=True))
+    got = np.asarray(instance_norm(x, g, b, relu=True, method="onepass"))
     np.testing.assert_allclose(got, base, rtol=1e-3, atol=1e-3)
+
+
+def test_train_step_onepass_matches_stable(rng):
+    """make_train_step(norm_method='onepass') (--in_stats onepass): one tiny
+    step produces the same loss and parameter update as the stable default
+    to float tolerance."""
+    import jax
+
+    from fast_neural_style_transfer_tpu.losses import (
+        LossTaps,
+        style_targets_from_features,
+    )
+    from fast_neural_style_transfer_tpu.models import (
+        TransformerNet,
+        VGG19Features,
+    )
+    from fast_neural_style_transfer_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+    from fast_neural_style_transfer_tpu.train.step import make_train_step
+
+    taps = LossTaps()
+    vgg = VGG19Features.init(jax.random.PRNGKey(0))
+    grams = tuple(style_targets_from_features(VGG19Features.apply(
+        vgg, jnp.zeros((1, 32, 32, 3), jnp.float32), taps.style_taps)))
+    opt = make_optimizer(1e-3, 10)
+    x = jnp.asarray(
+        rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8))
+    outs = {}
+    for method in ("auto", "onepass"):
+        state = create_train_state(
+            TransformerNet.init(jax.random.PRNGKey(1)), opt)
+        step = make_train_step(opt, taps=taps, donate=False,
+                               dropout=False, norm_method=method)
+        new_state, m = step(state, vgg, x, grams, jax.random.PRNGKey(2))
+        outs[method] = (float(m["loss"]), new_state.params)
+    assert np.isclose(outs["auto"][0], outs["onepass"][0], rtol=1e-4)
+    # Adam normalizes each gradient coordinate, so float-eps stat
+    # differences surface at step-size scale in a few coordinates
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4),
+        outs["auto"][1], outs["onepass"][1])
 
 
 def test_gram_matches_torch_bmm(rng):

@@ -13,7 +13,6 @@ round-5 "one more measured perf attempt" (VERDICT r4 #3).
 """
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_step(batch, hw, prec):
+def build_step(batch, hw, prec, norm_method):
     from fast_neural_style_transfer_tpu.core.dtypes import canonical_compute_dtype
     from fast_neural_style_transfer_tpu.losses import (
         LossTaps,
@@ -44,14 +43,14 @@ def build_step(batch, hw, prec):
         vgg, jnp.zeros((1, hw, hw, 3), jnp.float32), taps.style_taps)))
     opt = make_optimizer(1e-3, 1000)
     state = create_train_state(TransformerNet.init(jax.random.PRNGKey(1)), opt)
-    step = make_train_step(opt, taps=taps, precision=p, donate=False)
+    step = make_train_step(opt, taps=taps, precision=p, donate=False,
+                           norm_method=norm_method)
     x = jnp.zeros((batch, hw, hw, 3), jnp.uint8)
     return step, state, (vgg, x, grams, jax.random.PRNGKey(2))
 
 
-def measure(batch, hw, prec, iters, samples):
-    # fresh trace each call: the env var is consulted at trace time
-    step, state, args = build_step(batch, hw, prec)
+def measure(batch, hw, prec, iters, samples, norm_method="auto"):
+    step, state, args = build_step(batch, hw, prec, norm_method)
     state2, m = step(state, *args)
     float(m["loss"])  # compile + warm; forced D2H (tunnel block lies)
     ts = []
@@ -79,16 +78,14 @@ def main():
                "image_size": args.image_size}
         # interleave: baseline, variant, baseline again (re-baseline
         # in-session — chip/session variance, DESIGN.md §8)
-        for key, env in (("step_ms_stable", "stable"),
-                         ("step_ms_onepass", "onepass"),
-                         ("step_ms_stable2", "stable")):
-            os.environ["FNST_IN_STATS"] = env
+        for key, method in (("step_ms_stable", "auto"),
+                            ("step_ms_onepass", "onepass"),
+                            ("step_ms_stable2", "auto")):
             try:
                 rec[key] = round(measure(b, args.image_size, args.precision,
-                                         args.iters, args.samples), 3)
+                                         args.iters, args.samples, method), 3)
             except Exception as e:
                 rec[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
-        os.environ.pop("FNST_IN_STATS", None)
         if "step_ms_stable" in rec and "step_ms_onepass" in rec:
             base = min(rec["step_ms_stable"], rec.get("step_ms_stable2",
                                                       rec["step_ms_stable"]))
