@@ -349,6 +349,7 @@ class TestONNXExport:
                 rtol=1e-3, atol=1e-4, err_msg=f"alpha={a}",
             )
 
+    @pytest.mark.slow
     def test_baked_style_export_single_input(self, tmp_path):
         """baked_style freezes the style moments into the graph: one input,
         no style VGG branch, same output as the live two-input pipeline."""
@@ -592,6 +593,7 @@ class TestSpatialAdaIN:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_odd_sizes_match_single_device(self):
         """Non-shard-aligned sizes are EXACT, not merely finite: the sharded
         route's active-extent masking (zero-filled stage-2 pad kept out of
@@ -799,6 +801,7 @@ class TestArbitraryStylizer:
             adain_main(["stylize", "--decoder", dec_path,
                         "--style_image", str(style)])
 
+    @pytest.mark.slow
     def test_data_parallel_sharding_identical_output(self):
         """Batch sharded over the 8-device data mesh must produce the exact
         unsharded output (per-(b,c) moments never cross the batch axis)."""
@@ -875,6 +878,7 @@ class TestTorchDecoderInterchange:
             np.asarray(params["convs"][3]["w"]), back["convs"][3]["w"],
             rtol=1e-6)
 
+    @pytest.mark.slow
     def test_torchscript_full_pipeline(self, tmp_path):
         """The traced two-input .pt loads with torch.jit.load, matches
         stylize_arbitrary, and runs at resolutions other than the trace

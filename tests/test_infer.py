@@ -244,6 +244,7 @@ def test_cli_rejects_content_dir_with_spatial(tmp_path):
               "--model_path", "x.npz", "--output_dir", str(tmp_path)])
 
 
+@pytest.mark.slow
 def test_stylizer_from_grad_accum_orbax_checkpoint(tmp_path):
     """Orbax checkpoints from --grad_accum>1 runs wrap opt_state in
     optax.MultiSteps; inference restore must not depend on the optimizer

@@ -73,6 +73,7 @@ def test_masked_losses_equal_unpadded():
     assert s_masked == pytest.approx(s_real, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_padded_step_equals_unpadded_step():
     """Full jitted train step: b4 padded to b8 with the mask reproduces the
     b4 step — identical loss metrics and identical GRADIENTS (rel-L2

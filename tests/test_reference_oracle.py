@@ -75,7 +75,11 @@ def ref_net(ref_model, params):
     return net
 
 
-@pytest.mark.parametrize("h,w", [(256, 256), (320, 320), (512, 256)])
+@pytest.mark.parametrize("h,w", [
+    (256, 256),  # the training/serving shape stays default-tier
+    pytest.param(320, 320, marks=pytest.mark.slow),
+    pytest.param(512, 256, marks=pytest.mark.slow),
+])
 def test_stylizer_forward_matches_reference_net(ref_net, params, h, w):
     """Our stylizer forward == the reference nn.Module running our weights,
     at 256 / 320 / 512-class resolutions (reference inference.py:42-48)."""

@@ -112,6 +112,7 @@ def _reexposure_clip(n=6, h=160, w=160, seed=0):
     return np.stack(frames)
 
 
+@pytest.mark.slow
 def test_stabilization_removes_reexposure_flicker(params):
     """The honest stabilization claim (root-caused in round 4, DESIGN.md
     §13): frozen IN statistics make static pixels outside the moving
