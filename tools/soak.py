@@ -88,9 +88,33 @@ def _cfg(outdir: str):
     )
 
 
-def run_phase(outdir: str, kill_at_step=None) -> None:
+def _last_step(metrics: str) -> int:
+    try:
+        with open(metrics) as f:
+            line = None
+            for line in f:
+                pass
+        return json.loads(line).get("step", -1) if line else -1
+    except (OSError, ValueError):
+        return -1
+
+
+def run_phase(outdir: str, kill_at_step=None, *,
+              stall_s: float = None, max_restarts: int = 50) -> None:
     """Run training in a subprocess; optionally SIGTERM it once
-    metrics.jsonl passes kill_at_step."""
+    metrics.jsonl passes ``kill_at_step`` (the preemption drill).
+
+    Stall watchdog (round 5): the tunneled backend can hang a D2H fetch
+    indefinitely (observed: a b20 run frozen >13 min mid-step with the
+    process healthy but asleep in the tunnel read). If metrics.jsonl stops
+    advancing for ``stall_s`` (FNST_SOAK_STALL_S, default 480 s; startup
+    grace +600 s for a cold compile), the child is SIGKILLed and relaunched
+    — the loop auto-resumes from the latest Orbax checkpoint, so at most
+    ckpt_every steps re-run (and the report's duplicate-step check still
+    applies to the drill resume). The drill SIGTERM is sent exactly once.
+    """
+    if stall_s is None:
+        stall_s = float(os.environ.get("FNST_SOAK_STALL_S", 480))
     code = (
         "import sys; sys.path.insert(0, '/root/repo');"
         "from tools.soak import _cfg;"
@@ -98,28 +122,44 @@ def run_phase(outdir: str, kill_at_step=None) -> None:
         "train_style_transfer;"
         f"train_style_transfer(_cfg({outdir!r}))"
     )
-    proc = subprocess.Popen([sys.executable, "-c", code],
-                            cwd="/root/repo")
     metrics = os.path.join(outdir, "metrics.jsonl")
-    if kill_at_step is None:
-        proc.wait()
-        print("phase exit:", proc.returncode)
-        return
     sent = False
-    while proc.poll() is None:
-        time.sleep(5)
-        step = -1
-        try:
-            with open(metrics) as f:
-                for line in f:
-                    pass
-                step = json.loads(line).get("step", -1)
-        except (OSError, ValueError, NameError):
+    for attempt in range(max_restarts):
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                cwd="/root/repo")
+        launched = time.time()
+        stalled = False
+        while proc.poll() is None:
+            time.sleep(5)
+            step = _last_step(metrics)
+            try:
+                # baseline vs THIS launch, not the previous child's rows —
+                # otherwise a relaunch after a stall-kill would re-trip
+                # instantly on the stale pre-kill mtime
+                fresh_for = time.time() - max(os.path.getmtime(metrics),
+                                              launched)
+            except OSError:
+                fresh_for = time.time() - launched - 600.0  # compile grace
+            if fresh_for > stall_s:
+                print(f"[soak] metrics stalled {fresh_for:.0f}s at step "
+                      f"{step}: SIGKILL + resume (attempt {attempt + 1})",
+                      flush=True)
+                proc.kill()
+                proc.wait()
+                stalled = True
+                break
+            if not sent and kill_at_step is not None and step >= kill_at_step:
+                print(f"metrics at step {step}: sending SIGTERM", flush=True)
+                proc.send_signal(signal.SIGTERM)
+                sent = True
+        if stalled:
+            time.sleep(30)  # let the tunnel drain before the resume launch
             continue
-        if not sent and step >= kill_at_step:
-            print(f"metrics at step {step}: sending SIGTERM", flush=True)
-            proc.send_signal(signal.SIGTERM)
-            sent = True
+        # child exited on its own
+        if kill_at_step is None or sent:
+            break
+        print("[soak] child exited before the drill step; relaunching",
+              flush=True)
     print("phase exit:", proc.returncode, "(SIGTERM sent:", sent, ")")
 
 
