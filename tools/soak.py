@@ -133,13 +133,19 @@ def run_phase(outdir: str, kill_at_step=None, *,
             time.sleep(5)
             step = _last_step(metrics)
             try:
-                # baseline vs THIS launch, not the previous child's rows —
-                # otherwise a relaunch after a stall-kill would re-trip
-                # instantly on the stale pre-kill mtime
-                fresh_for = time.time() - max(os.path.getmtime(metrics),
-                                              launched)
+                st = os.stat(metrics)
+                if st.st_size > 0 and st.st_mtime >= launched:
+                    # rows from THIS launch: plain row-to-row staleness
+                    fresh_for = time.time() - st.st_mtime
+                else:
+                    # no row from this child yet (the loop creates the file
+                    # empty at startup, and a relaunch inherits the previous
+                    # child's stale rows): measure from launch with a cold-
+                    # compile grace — the hostile b20 shape compiles up to
+                    # ~492 s when the persistent cache misses
+                    fresh_for = time.time() - launched - 900.0
             except OSError:
-                fresh_for = time.time() - launched - 600.0  # compile grace
+                fresh_for = time.time() - launched - 900.0  # compile grace
             if fresh_for > stall_s:
                 print(f"[soak] metrics stalled {fresh_for:.0f}s at step "
                       f"{step}: SIGKILL + resume (attempt {attempt + 1})",
