@@ -99,22 +99,14 @@ def _last_step(metrics: str) -> int:
         return -1
 
 
-def run_phase(outdir: str, kill_at_step=None, *,
-              stall_s: float = None, max_restarts: int = 50) -> None:
-    """Run training in a subprocess; optionally SIGTERM it once
-    metrics.jsonl passes ``kill_at_step`` (the preemption drill).
+# cold-compile grace added on top of stall_s while a child has produced no
+# row yet (hostile b20 measured up to ~492 s on a persistent-cache miss)
+_COMPILE_GRACE_S = 900.0
 
-    Stall watchdog (round 5): the tunneled backend can hang a D2H fetch
-    indefinitely (observed: a b20 run frozen >13 min mid-step with the
-    process healthy but asleep in the tunnel read). If metrics.jsonl stops
-    advancing for ``stall_s`` (FNST_SOAK_STALL_S, default 480 s; startup
-    grace +600 s for a cold compile), the child is SIGKILLed and relaunched
-    — the loop auto-resumes from the latest Orbax checkpoint, so at most
-    ckpt_every steps re-run (and the report's duplicate-step check still
-    applies to the drill resume). The drill SIGTERM is sent exactly once.
-    """
-    if stall_s is None:
-        stall_s = float(os.environ.get("FNST_SOAK_STALL_S", 480))
+
+def _trainer_argv(outdir: str):
+    """argv of one training child (separated so tests can substitute a fake
+    trainer and exercise the watchdog without a backend)."""
     code = (
         "import sys; sys.path.insert(0, '/root/repo');"
         "from tools.soak import _cfg;"
@@ -122,15 +114,35 @@ def run_phase(outdir: str, kill_at_step=None, *,
         "train_style_transfer;"
         f"train_style_transfer(_cfg({outdir!r}))"
     )
+    return [sys.executable, "-c", code]
+
+
+def run_phase(outdir: str, kill_at_step=None, *,
+              stall_s: float = None, max_restarts: int = 50,
+              poll_s: float = 5.0, backoff_s: float = 30.0) -> None:
+    """Run training in a subprocess; optionally SIGTERM it once
+    metrics.jsonl passes ``kill_at_step`` (the preemption drill).
+
+    Stall watchdog (round 5): the tunneled backend can hang a D2H fetch
+    indefinitely (observed: a b20 run frozen >13 min mid-step with the
+    process healthy but asleep in the tunnel read). If metrics.jsonl stops
+    advancing for ``stall_s`` (FNST_SOAK_STALL_S, default 480 s; grace of
+    +``_COMPILE_GRACE_S`` while this child has no row yet — cold compile),
+    the child is SIGKILLed and relaunched
+    — the loop auto-resumes from the latest Orbax checkpoint, so at most
+    ckpt_every steps re-run (and the report's duplicate-step check still
+    applies to the drill resume). The drill SIGTERM is sent exactly once.
+    """
+    if stall_s is None:
+        stall_s = float(os.environ.get("FNST_SOAK_STALL_S", 480))
     metrics = os.path.join(outdir, "metrics.jsonl")
     sent = False
     for attempt in range(max_restarts):
-        proc = subprocess.Popen([sys.executable, "-c", code],
-                                cwd="/root/repo")
+        proc = subprocess.Popen(_trainer_argv(outdir), cwd="/root/repo")
         launched = time.time()
         stalled = False
         while proc.poll() is None:
-            time.sleep(5)
+            time.sleep(poll_s)
             step = _last_step(metrics)
             try:
                 st = os.stat(metrics)
@@ -143,9 +155,9 @@ def run_phase(outdir: str, kill_at_step=None, *,
                     # child's stale rows): measure from launch with a cold-
                     # compile grace — the hostile b20 shape compiles up to
                     # ~492 s when the persistent cache misses
-                    fresh_for = time.time() - launched - 900.0
+                    fresh_for = time.time() - launched - _COMPILE_GRACE_S
             except OSError:
-                fresh_for = time.time() - launched - 900.0  # compile grace
+                fresh_for = time.time() - launched - _COMPILE_GRACE_S
             if fresh_for > stall_s:
                 print(f"[soak] metrics stalled {fresh_for:.0f}s at step "
                       f"{step}: SIGKILL + resume (attempt {attempt + 1})",
@@ -159,7 +171,7 @@ def run_phase(outdir: str, kill_at_step=None, *,
                 proc.send_signal(signal.SIGTERM)
                 sent = True
         if stalled:
-            time.sleep(30)  # let the tunnel drain before the resume launch
+            time.sleep(backoff_s)  # let the tunnel drain before the resume
             continue
         # child exited on its own
         if kill_at_step is None or sent:
