@@ -38,15 +38,35 @@ done
 
 export FNST_SOAK_STEPS=40000 FNST_SOAK_BATCH=20 FNST_SOAK_CKPT_EVERY=2000
 FINAL=$OUT/style_transfer_final.npz
-if [ ! -f "$FINAL" ]; then
+# NOTE the completion gate is the metrics max step, NOT the final-artifact
+# file: the trainer's graceful SIGTERM drain also writes
+# style_transfer_final.npz (drain = checkpoint + final artifact), so a
+# file gate mistakes the 50% drill drain for a finished run (that is
+# exactly what happened on this script's first run; tools/chip_program_r5b.sh
+# resumed it).
+max_step() {
+  python - <<'PYEOF'
+import json, os
+m = 0
+p = '/root/repo/.runs/soak40k_r5/metrics.jsonl'
+if os.path.exists(p):
+    for l in open(p):
+        try:
+            m = max(m, json.loads(l).get('step', 0))
+        except ValueError:
+            pass
+print(m)
+PYEOF
+}
+if [ "$(max_step)" -lt 40000 ]; then
   if [ ! -f "$OUT/soak_config.json" ]; then
     python tools/soak.py phase_a "$OUT"
   fi
   # phase_b resumes from the latest checkpoint; retry through transient
-  # backend outages until the final artifact exists (max ~6h of attempts).
+  # backend outages until the run reaches total_steps (max ~6h of attempts).
   for i in $(seq 1 12); do
-    [ -f "$FINAL" ] && break
-    echo "[r5] phase_b attempt $i $(date +%H:%M:%S)"
+    [ "$(max_step)" -ge 40000 ] && break
+    echo "[r5] phase_b attempt $i $(date +%H:%M:%S) (at step $(max_step))"
     python tools/soak.py phase_b "$OUT"
     sleep 60
   done
