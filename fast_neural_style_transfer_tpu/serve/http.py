@@ -251,18 +251,23 @@ def main(argv: Optional[list] = None) -> None:
         size=args.size, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
     host, port = srv.server_address[:2]
-    print(f"fnst-serve: {family} model on http://{host}:{port} "
-          f"(max_batch={args.max_batch}, wait={args.max_wait_ms} ms)",
-          flush=True)
 
     # SIGTERM (the TPU-VM preemption signal) drains like Ctrl-C: stop
     # accepting, finish in-flight batches, fail what's still queued.
+    # Installed BEFORE the ready banner: the banner is the documented
+    # "safe to preempt" point, so the handler must already be live when a
+    # supervisor reacts to it (a SIGTERM landing in the gap used to hit
+    # the default action and kill the process with rc -15).
     import signal
 
     def _term(signum, frame):
         threading.Thread(target=srv.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
+
+    print(f"fnst-serve: {family} model on http://{host}:{port} "
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms} ms)",
+          flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
